@@ -1,0 +1,153 @@
+"""Match classifier — logistic regression fit driver-side, applied in UDFs.
+
+The reference trains sklearn LogisticRegression (L2, C=1.0,
+class_weight='balanced', seed 42) on ~2k labeled pairs and scores candidates
+at p >= 0.90 (/root/reference/src/classification.py:510-555, :231-232).
+sklearn is unavailable here, so the same objective is minimized with
+full-batch Newton / IRLS in numpy (deterministic, no learning-rate knobs):
+
+    min_{w,b}  0.5*||w||^2 / C  +  sum_i s_i * log(1 + exp(-y_i (x_i·w + b)))
+
+with balanced sample weights s_i = n / (2 * n_class(y_i)) — exactly sklearn's
+'balanced' heuristic. The intercept is unpenalized (sklearn semantics).
+Feature z-scoring uses train-split statistics, sigma=0 -> 1
+(/root/reference/src/classification.py:473-508).
+
+The trained (w, b, mu, sigma) tuple is tiny: callers broadcast it into the
+scoring pandas UDF (SURVEY.md §2.9 M5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class LRModel:
+    weights: np.ndarray
+    intercept: float
+    means: np.ndarray
+    stds: np.ndarray
+    feature_names: list[str] = field(default_factory=list)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        Xn = (X - self.means) / self.stds
+        Xn = np.nan_to_num(Xn, nan=0.0, posinf=1e10, neginf=-1e10)
+        z = Xn @ self.weights + self.intercept
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def to_dict(self) -> dict:
+        return {
+            "weights": self.weights.tolist(),
+            "intercept": float(self.intercept),
+            "means": self.means.tolist(),
+            "stds": self.stds.tolist(),
+            "feature_names": list(self.feature_names),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LRModel":
+        return cls(
+            weights=np.asarray(d["weights"], dtype=np.float64),
+            intercept=float(d["intercept"]),
+            means=np.asarray(d["means"], dtype=np.float64),
+            stds=np.asarray(d["stds"], dtype=np.float64),
+            feature_names=list(d.get("feature_names", [])),
+        )
+
+
+def zscore_stats(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    means = X.mean(axis=0)
+    stds = X.std(axis=0)
+    stds = np.where(stds == 0, 1.0, stds)
+    return means, stds
+
+
+def stratified_split(
+    y: np.ndarray, train_frac: float = 0.7, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-class shuffled 70/30 index split (M1)."""
+    rng = np.random.RandomState(seed)
+    train_idx, test_idx = [], []
+    for cls in np.unique(y):
+        idx = np.where(y == cls)[0]
+        rng.shuffle(idx)
+        k = int(round(len(idx) * train_frac))
+        train_idx.append(idx[:k])
+        test_idx.append(idx[k:])
+    return np.sort(np.concatenate(train_idx)), np.sort(np.concatenate(test_idx))
+
+
+def fit_logistic_regression(
+    X: np.ndarray,
+    y: np.ndarray,
+    c: float = 1.0,
+    balanced: bool = True,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+    feature_names: list[str] | None = None,
+) -> LRModel:
+    """IRLS/Newton fit on z-scored features. X raw; scaling handled inside."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    means, stds = zscore_stats(X)
+    Xn = np.nan_to_num((X - means) / stds, nan=0.0, posinf=1e10, neginf=-1e10)
+
+    n, d = Xn.shape
+    if balanced:
+        n_pos = max(float((y == 1).sum()), 1.0)
+        n_neg = max(float((y == 0).sum()), 1.0)
+        s = np.where(y == 1, n / (2.0 * n_pos), n / (2.0 * n_neg))
+    else:
+        s = np.ones(n)
+
+    lam = 1.0 / c
+    Xb = np.hstack([Xn, np.ones((n, 1))])
+    theta = np.zeros(d + 1)
+    reg = np.eye(d + 1) * lam
+    reg[d, d] = 0.0  # intercept unpenalized
+
+    prev_loss = np.inf
+    for _ in range(max_iter):
+        z = Xb @ theta
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        g = Xb.T @ (s * (p - y)) + reg @ theta
+        w_diag = np.maximum(s * p * (1 - p), 1e-10)
+        H = (Xb * w_diag[:, None]).T @ Xb + reg
+        step = np.linalg.solve(H, g)
+        theta = theta - step
+        loss = (
+            -np.sum(s * (y * np.log(np.clip(p, 1e-12, 1)) + (1 - y) * np.log(np.clip(1 - p, 1e-12, 1))))
+            + 0.5 * lam * float(theta[:d] @ theta[:d])
+        )
+        if abs(prev_loss - loss) < tol * max(1.0, abs(prev_loss)):
+            break
+        prev_loss = loss
+
+    return LRModel(
+        weights=theta[:d],
+        intercept=float(theta[d]),
+        means=means,
+        stds=stds,
+        feature_names=feature_names or [],
+    )
+
+
+def confusion(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
+    """A9/M6: TP/FP/TN/FN + precision/recall/F1/accuracy."""
+    y_true = np.asarray(y_true).astype(int)
+    y_pred = np.asarray(y_pred).astype(int)
+    tp = int(((y_true == 1) & (y_pred == 1)).sum())
+    fp = int(((y_true == 0) & (y_pred == 1)).sum())
+    tn = int(((y_true == 0) & (y_pred == 0)).sum())
+    fn = int(((y_true == 1) & (y_pred == 0)).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    accuracy = (tp + tn) / max(len(y_true), 1)
+    return {
+        "tp": tp, "fp": fp, "tn": tn, "fn": fn,
+        "precision": precision, "recall": recall, "f1": f1, "accuracy": accuracy,
+    }

@@ -1,0 +1,193 @@
+"""Stages 5-6 — edges and transitive clustering.
+
+Replaces the reference's in-memory networkx graph
+(/root/reference/src/clustering.py:61, :220-369) with DataFrame-native
+operators:
+
+- G1 edge construction: scored pairs with confidence >= min_edge_weight.
+- G2 one-hop transitivity (edge self-join, weight product) — kept for
+  operator parity; connected components subsumes it, so the pipeline leaves
+  it off by default (reference note at SURVEY.md §2.8 G2).
+- G3 connected components via alternating large-star/small-star hash-join
+  passes (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+  O(log n) rounds, each round two shuffles; lineage truncated per round with
+  localCheckpoint so the plan stays bounded.
+- G5 min-size filter and oversized-cluster breakup (drop weak edges, re-run
+  CC on the oversized component's subgraph).
+
+Node ids are arbitrary orderable strings (urls). Cluster id = min url in the
+component (stable across runs and partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def build_edges(scored_pairs: DataFrame, min_edge_weight: float = 0.5,
+                decision_threshold: float = 0.9) -> DataFrame:
+    """G1: (src, dst, weight) for predicted matches.
+
+    prediction = confidence >= decision_threshold (0.90); edges additionally
+    require weight >= min_edge_weight (0.5) per config.yml:129,135.
+    """
+    return (
+        scored_pairs.where(
+            (F.col("confidence") >= decision_threshold)
+            & (F.col("confidence") >= min_edge_weight)
+        )
+        .select(
+            F.col("url1").alias("src"),
+            F.col("url2").alias("dst"),
+            F.col("confidence").alias("weight"),
+        )
+    )
+
+
+def transitivity_one_hop(edges: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """G2: connect neighbors-of-neighbors with weight = product, one pass."""
+    sym = edges.select("src", "dst", "weight").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    a = sym.alias("a")
+    b = sym.alias("b")
+    inferred = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .where(F.col("a.src") < F.col("b.dst"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.weight") * F.col("b.weight")).alias("weight"),
+        )
+        .where(F.col("weight") >= threshold)
+    )
+    return (
+        edges.unionByName(inferred)
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient (big, small), drop self-loops, dedup."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """G3: (node, component) with component = min node id in the component.
+
+    Alternating large-star / small-star over hash joins; converges in
+    O(log n) rounds. Each round materializes via localCheckpoint (lineage
+    truncation — SURVEY.md §7.4 risk 5).
+    """
+    spark = edges.sparkSession
+    e = _canonical(edges).localCheckpoint(eager=True)
+    if e.isEmpty():
+        t = edges.schema["src"].dataType.simpleString()
+        return spark.createDataFrame([], f"node {t}, component {t}")
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        # --- large-star: for every node u (over symmetric neighbors),
+        # attach strictly-larger neighbors to m = min(N(u) ∪ {u}).
+        sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+        # --- small-star: edges point (big -> small); attach all small
+        # neighbors (and u itself) to the minimum neighbor.
+        g = large  # already oriented src > dst
+        mins2 = g.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            g.join(mins2, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mins2.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        e_new = small.localCheckpoint(eager=True)
+
+        sig_row = e_new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        e = e_new
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # at fixpoint every edge is (node -> component root)
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return members.unionByName(roots).distinct()
+
+
+def assign_clusters(edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """(entity_id, cluster_id): CC labels, singletons = their own cluster.
+
+    ``all_nodes`` must have a single column ``node``.
+    """
+    cc = connected_components(edges)
+    return (
+        all_nodes.join(cc, "node", "left")
+        .select(
+            F.col("node").alias("entity_id"),
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
+def cluster_size_stats(clusters: DataFrame) -> DataFrame:
+    """A10: size histogram stats over clusters."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.avg("size").alias("mean_size"),
+        F.expr("percentile(size, 0.5)").alias("median_size"),
+        F.stddev_pop("size").alias("std_size"),
+    )
+
+
+def breakup_oversized(
+    edges: DataFrame,
+    clusters: DataFrame,
+    max_cluster_size: int = 1000,
+    weight_floor: float = 0.75,
+) -> DataFrame:
+    """G5: re-cluster oversized components keeping only strong edges."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    big = sizes.where(F.col("size") > max_cluster_size).select("cluster_id")
+    if big.isEmpty():
+        return clusters
+    big_nodes = clusters.join(F.broadcast(big), "cluster_id").select(
+        F.col("entity_id").alias("node")
+    )
+    sub_edges = (
+        edges.join(F.broadcast(big_nodes), edges.src == big_nodes.node)
+        .drop("node")
+        .where(F.col("weight") >= weight_floor)
+    )
+    re_clustered = assign_clusters(sub_edges, big_nodes)
+    keep = clusters.join(big, "cluster_id", "left_anti")
+    return keep.unionByName(re_clustered.select("entity_id", "cluster_id"))

@@ -1,0 +1,301 @@
+"""Stage 4 — pairwise features, prefilters, and classifier scoring.
+
+One Iterator-of-batches Arrow pass computes, per candidate pair, the
+reference's 18 features (config order, /root/reference/config.yml:69-117 +
+/root/reference/src/parallel_features.py:101-141):
+
+    {person,title,provision,subjects,composite}_cosine   (string-estimated!)
+    person_levenshtein, person_jaro_winkler               (token_sort_ratio!)
+    six harmonic means, person_subjects_product, composite_subjects_ratio
+    birth_year_match, death_year_match, has_birth_death_years
+
+plus the three prefilters (P10-P12, parallel_features.py:1044-1110) that
+short-circuit the classifier: exact-name-with-years -> auto-true, composite
+equality -> auto-true, person Levenshtein-sim < 0.3 -> auto-false.
+Prefiltered-true pairs enter clustering with weight 1.0
+(/root/reference/src/clustering.py:261-281).
+
+Scale notes:
+- features depend only on the pair's field strings, so the caller scores
+  *distinct field-hash tuples* and hash-joins the scores back to pairs —
+  string work scales with distinct entity variants, not raw pair count.
+- per-batch memo dicts (years per string, sims per string pair) keep Python
+  cost ~distinct-inputs-per-batch.
+- the trained LR is broadcast as a plain dict; the sigmoid runs inside the
+  same Arrow pass as the features (no second shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.similarity import (
+    harmonic_mean,
+    levenshtein_sim,
+    ratio_capped,
+    token_sort_ratio,
+)
+from ..functions.years import extract_birth_death_years
+from .classify import LRModel
+
+FIELDS = ["composite", "person", "title", "provision", "subjects"]
+
+FEATURE_NAMES = [
+    "person_cosine",
+    "title_cosine",
+    "provision_cosine",
+    "subjects_cosine",
+    "composite_cosine",
+    "person_levenshtein",
+    "person_jaro_winkler",
+    "person_title_harmonic",
+    "person_provision_harmonic",
+    "person_subjects_harmonic",
+    "title_subjects_harmonic",
+    "title_provision_harmonic",
+    "provision_subjects_harmonic",
+    "person_subjects_product",
+    "composite_subjects_ratio",
+    "birth_year_match",
+    "death_year_match",
+    "has_birth_death_years",
+]
+
+_HARMONIC_PAIRS = [
+    ("person", "title"),
+    ("person", "provision"),
+    ("person", "subjects"),
+    ("title", "subjects"),
+    ("title", "provision"),
+    ("provision", "subjects"),
+]
+
+PAIR_SIDE_COLS = [f + "1" for f in FIELDS] + [f + "2" for f in FIELDS] + [
+    f + "_h1" for f in FIELDS
+] + [f + "_h2" for f in FIELDS]
+
+
+class _BatchMemo:
+    """Per-batch caches for year extraction and string-pair similarities."""
+
+    def __init__(self):
+        self.years: dict[str, tuple] = {}
+        self.lev: dict[tuple, float] = {}
+        self.tsr: dict[tuple, float] = {}
+
+    def get_years(self, s: str):
+        y = self.years.get(s)
+        if y is None:
+            y = extract_birth_death_years(s)
+            self.years[s] = y
+        return y
+
+    def get_lev(self, s1: str, s2: str) -> float:
+        k = (s1, s2) if s1 <= s2 else (s2, s1)
+        v = self.lev.get(k)
+        if v is None:
+            v = levenshtein_sim(s1, s2)
+            self.lev[k] = v
+        return v
+
+    def get_tsr(self, s1: str, s2: str) -> float:
+        k = (s1, s2) if s1 <= s2 else (s2, s1)
+        v = self.tsr.get(k)
+        if v is None:
+            v = token_sort_ratio(s1, s2)
+            self.tsr[k] = v
+        return v
+
+
+def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str | None]:
+    """(18 features, prefilter in {'true','false',None}) for one pair.
+
+    Mirrors _construct_feature_vector + _apply_prefilters exactly (semantics,
+    not code): features only computed when both sides present; else 0.0.
+    """
+    fv = [0.0] * len(FEATURE_NAMES)
+    idx = {n: i for i, n in enumerate(FEATURE_NAMES)}
+
+    p1, p2 = row["person1"], row["person2"]
+    ph1, ph2 = row["person_h1"], row["person_h2"]
+    c1, c2 = row["composite1"], row["composite2"]
+    ch1, ch2 = row["composite_h1"], row["composite_h2"]
+
+    # --- prefilters (ordered exactly as the reference) ---
+    prefilter = None
+    if ph1 is not None and ph2 is not None and ph1 == ph2 and p1 is not None:
+        b, d = memo.get_years(p1)
+        if b is not None or d is not None:
+            prefilter = "true"
+    if prefilter is None and ch1 is not None and ch2 is not None and c1 == c2:
+        prefilter = "true"
+    if prefilter is None and p1 is not None and p2 is not None:
+        max_len = max(len(p1), len(p2))
+        if max_len == 0 or memo.get_lev(p1, p2) < 0.3:
+            prefilter = "false"
+
+    # --- person string similarities ---
+    if p1 is not None and p2 is not None:
+        fv[idx["person_levenshtein"]] = memo.get_lev(p1, p2)
+        fv[idx["person_jaro_winkler"]] = memo.get_tsr(p1, p2)
+
+    # --- birth/death year features ---
+    if p1 is not None and p2 is not None:
+        b1, d1 = memo.get_years(p1)
+        b2, d2 = memo.get_years(p2)
+        fv[idx["birth_year_match"]] = 1.0 if (b1 is not None and b2 is not None and b1 == b2) else 0.0
+        fv[idx["death_year_match"]] = 1.0 if (d1 is not None and d2 is not None and d1 == d2) else 0.0
+        has_years = (b1 is not None or d1 is not None) and (b2 is not None or d2 is not None)
+        fv[idx["has_birth_death_years"]] = 1.0 if has_years else 0.0
+
+    # --- string-estimated "cosine" per field ---
+    sims: dict[str, float] = {}
+    for f in ["person", "title", "provision", "subjects", "composite"]:
+        s1, s2 = row[f + "1"], row[f + "2"]
+        h1, h2 = row[f + "_h1"], row[f + "_h2"]
+        if s1 is None or s2 is None:
+            continue
+        if h1 is not None and h1 == h2:
+            sim = 1.0
+        elif f == "person":
+            sim = memo.get_lev(s1, s2)
+        else:
+            sim = memo.get_tsr(s1, s2)
+        sims[f] = sim
+        fv[idx[f + "_cosine"]] = sim
+
+    # --- interactions ---
+    for f1, f2 in _HARMONIC_PAIRS:
+        if f1 in sims and f2 in sims:
+            fv[idx[f"{f1}_{f2}_harmonic"]] = harmonic_mean(sims[f1], sims[f2])
+    if "person" in sims and "subjects" in sims:
+        fv[idx["person_subjects_product"]] = sims["person"] * sims["subjects"]
+    if "composite" in sims and "subjects" in sims:
+        fv[idx["composite_subjects_ratio"]] = ratio_capped(sims["composite"], sims["subjects"])
+
+    return fv, prefilter
+
+
+def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, list]:
+    n = len(pdf)
+    X = np.zeros((n, len(FEATURE_NAMES)))
+    prefilters = [None] * n
+    cols = {c: pdf[c].to_numpy(dtype=object) for c in PAIR_SIDE_COLS}
+    for i in range(n):
+        row = {c: (None if cols[c][i] is None or (isinstance(cols[c][i], float) and np.isnan(cols[c][i])) else cols[c][i]) for c in PAIR_SIDE_COLS}
+        fv, pref = compute_features_row(row, memo)
+        X[i] = fv
+        prefilters[i] = pref
+    return X, prefilters
+
+
+FEATURIZE_SCHEMA = StructType(
+    [
+        StructField("pair_key", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+        StructField("prefilter", StringType()),
+    ]
+)
+
+SCORE_SCHEMA = StructType(
+    [
+        StructField("pair_key", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("prefilter", StringType()),
+    ]
+)
+
+
+def with_pair_key(df: DataFrame) -> DataFrame:
+    """Single join key over the 10-field-hash tuple."""
+    return df.withColumn(
+        "pair_key",
+        F.sha1(
+            F.concat_ws(
+                "",
+                *[F.coalesce(F.col(f + "_h1"), F.lit("NULL")) for f in FIELDS],
+                *[F.coalesce(F.col(f + "_h2"), F.lit("NULL")) for f in FIELDS],
+            )
+        ),
+    )
+
+
+def featurize(df: DataFrame) -> DataFrame:
+    """pairs-with-fields -> (pair_key, features array, prefilter)."""
+    src = df.select("pair_key", *PAIR_SIDE_COLS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = _BatchMemo()
+        for pdf in batches:
+            X, pref = _features_batch(pdf, memo)
+            yield pd.DataFrame(
+                {
+                    "pair_key": pdf["pair_key"],
+                    "features": list(X),
+                    "prefilter": pref,
+                }
+            )
+
+    return src.mapInPandas(run, schema=FEATURIZE_SCHEMA)
+
+
+def score(df: DataFrame, model_dict: dict) -> DataFrame:
+    """pairs-with-fields -> (pair_key, confidence, prefilter).
+
+    confidence = 1.0 / 0.0 for prefiltered pairs, else sigmoid(LR). The model
+    dict rides the closure (broadcast by Spark task serialization).
+    """
+    src = df.select("pair_key", *PAIR_SIDE_COLS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = LRModel.from_dict(model_dict)
+        memo = _BatchMemo()
+        for pdf in batches:
+            X, pref = _features_batch(pdf, memo)
+            p = model.predict_proba(X)
+            conf = np.where(
+                [x == "true" for x in pref], 1.0,
+                np.where([x == "false" for x in pref], 0.0, p),
+            )
+            yield pd.DataFrame(
+                {
+                    "pair_key": pdf["pair_key"],
+                    "confidence": conf,
+                    "prefilter": pref,
+                }
+            )
+
+    return src.mapInPandas(run, schema=SCORE_SCHEMA)
+
+
+def attach_pair_fields(pairs: DataFrame, records: DataFrame) -> DataFrame:
+    """(url1, url2) x records^2 -> wide pair rows with both sides' fields.
+
+    Two hash joins against the record table (J4); record side is the smaller
+    relation, so at 100 TB this is a shuffle join on url with AQE; at test
+    scale Catalyst broadcasts it.
+    """
+    side_cols = ["url"] + FIELDS + [f + "_h" for f in FIELDS]
+    r1 = records.select(
+        *[F.col(c).alias(c + "1" if c != "url" else "url1") for c in side_cols]
+    )
+    r1 = r1.select("url1", *[F.col(f + "1").alias(f + "1") for f in FIELDS],
+                   *[F.col(f + "_h1").alias(f + "_h1") for f in FIELDS])
+    r2 = records.select(
+        *[F.col(c).alias(c + "2" if c != "url" else "url2") for c in side_cols]
+    )
+    r2 = r2.select("url2", *[F.col(f + "2").alias(f + "2") for f in FIELDS],
+                   *[F.col(f + "_h2").alias(f + "_h2") for f in FIELDS])
+    return pairs.join(r1, "url1").join(r2, "url2")

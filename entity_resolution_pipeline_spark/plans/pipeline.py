@@ -1,0 +1,292 @@
+"""The end-to-end entity-resolution DAG (SURVEY.md §7.1).
+
+    web_pages -> records -> blocking keys -> candidate pairs
+              -> scores (distinct field-tuples, Arrow pass, broadcast LR)
+              -> edges -> clusters -> evaluation
+
+Lifecycle mirrors the reference pipeline (/root/reference/src/pipeline.py:98-190):
+a linear list of named stages, each `read -> transform -> write table`,
+individually skippable on resume. Completion probing = manifest rows with the
+same input fingerprint + output table existence
+(mirrors /root/reference/src/pipeline.py:230-261). Every stage appends
+per-partition lineage + metrics rows (north_rule).
+
+The classifier is trained driver-side on the labeled pairs (tiny — ~2k rows,
+M1/M2) and broadcast into the scoring pass; everything else is distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..operators import blocking as B  # noqa: N812
+from ..operators import cluster as C  # noqa: N812
+from ..operators import pairs as P  # noqa: N812
+from ..operators.classify import LRModel, confusion, fit_logistic_regression, stratified_split
+from ..operators.preprocess import (
+    field_hash_mapping,
+    field_stats,
+    preprocess_records,
+    string_counts,
+    strings_long,
+    unique_strings,
+)
+from ..sources.catalog import Catalog, Manifest, fingerprint_df
+
+STAGES = [
+    "preprocess",
+    "blocking",
+    "pairs",
+    "score",
+    "edges",
+    "cluster",
+]
+
+
+@dataclass
+class ERConfig:
+    decision_threshold: float = 0.90   # config.yml:129
+    min_edge_weight: float = 0.5       # config.yml:135
+    train_frac: float = 0.7            # config.yml:22
+    seed: int = 42                     # config.yml:15
+    lsh_num_perm: int = 64
+    lsh_bands: int = 16
+    max_block_size: int = 64
+    transitivity_enabled: bool = False  # CC subsumes G2; kept as operator
+    extra: dict = field(default_factory=dict)
+
+
+class ERPipeline:
+    """Library API analogue of EntityResolutionIntegration
+    (/root/reference/src/integration.py:30-117)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, config: ERConfig | None = None,
+                 run_id: str | None = None):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse)
+        self.manifest = Manifest(self.catalog, run_id=run_id)
+        self.config = config or ERConfig()
+        self.metrics: dict = {}
+
+    # ---------- stage runner ----------
+
+    def _run_stage(self, stage: str, input_fp: str, rows_in: int, build_df, out_table: str,
+                   force: bool = False) -> DataFrame:
+        if not force and self.catalog.exists(out_table) and self.manifest.stage_complete(stage, input_fp):
+            self.manifest.record_skipped(stage, input_fp)
+            return self.catalog.read(out_table)
+        t0 = time.time()
+        df = build_df()
+        self.catalog.write(df, out_table)
+        out = self.catalog.read(out_table)
+        wall_ms = int((time.time() - t0) * 1000)
+        self.manifest.record_stage(stage, out, rows_in, wall_ms, input_fp)
+        return out
+
+    # ---------- full run ----------
+
+    def run(self, web_pages: DataFrame, labeled_pairs: DataFrame | None = None,
+            force: bool = False) -> dict:
+        cfg = self.config
+        input_fp = fingerprint_df(web_pages, ["url"])
+        n_pages = int(input_fp.split(":")[0])
+
+        records = self._run_stage(
+            "preprocess", input_fp, n_pages,
+            lambda: preprocess_records(web_pages), "records", force,
+        )
+
+        # dedup dimensions (A1-A4) — cheap, always rebuilt with records
+        long_df = strings_long(records)
+        self.catalog.write(unique_strings(long_df), "unique_strings")
+        self.catalog.write(string_counts(long_df), "string_counts")
+        self.catalog.write(field_hash_mapping(long_df), "field_hash_mapping")
+        self.catalog.write(field_stats(long_df), "field_stats")
+
+        rec_fp = fingerprint_df(records, ["url", "person_h"])
+        keys = self._run_stage(
+            "blocking", rec_fp, n_pages,
+            lambda: B.all_blocking_keys(records, num_perm=cfg.lsh_num_perm, bands=cfg.lsh_bands),
+            "blocking_keys", force,
+        )
+
+        def build_pairs():
+            pairs, oversized = B.candidate_pairs(keys, max_block_size=cfg.max_block_size)
+            over = oversized.collect()
+            self.metrics["oversized_blocks"] = [
+                {"key": r["key"], "size": int(r["block_size"])} for r in over
+            ]
+            return pairs
+
+        keys_fp = fingerprint_df(keys, ["url", "key"])
+        pairs = self._run_stage("pairs", keys_fp, -1, build_pairs, "candidate_pairs", force)
+        n_pairs = pairs.count()
+        self.metrics["candidate_pairs"] = int(n_pairs)
+
+        # ---- train classifier on labeled pairs (driver-side, tiny) ----
+        model = None
+        if labeled_pairs is not None:
+            model = self.train(records, labeled_pairs)
+        else:
+            model = self._load_model()
+        if model is None:
+            raise ValueError("no labeled pairs given and no saved model found")
+
+        pair_fields = P.with_pair_key(P.attach_pair_fields(pairs, records))
+
+        def build_scores():
+            # score distinct field-hash tuples, then hash-join back: string
+            # work scales with distinct variants, not pair count.
+            distinct_tuples = pair_fields.select("pair_key", *P.PAIR_SIDE_COLS).dropDuplicates(["pair_key"])
+            scored_tuples = P.score(distinct_tuples, model.to_dict())
+            return pair_fields.select("url1", "url2", "pair_key").join(
+                scored_tuples, "pair_key"
+            ).select("url1", "url2", "confidence", "prefilter")
+
+        t_score0 = time.time()
+        scored = self._run_stage("score", keys_fp + "|score", int(n_pairs), build_scores, "scored_pairs", force)
+        self.metrics["score_wall_s"] = time.time() - t_score0
+        self.metrics["pairs_scored_per_sec"] = (
+            n_pairs / self.metrics["score_wall_s"] if self.metrics["score_wall_s"] > 0 else None
+        )
+
+        def build_edges():
+            e = C.build_edges(scored, cfg.min_edge_weight, cfg.decision_threshold)
+            if cfg.transitivity_enabled:
+                e = C.transitivity_one_hop(e, cfg.min_edge_weight)
+            return e
+
+        edges = self._run_stage("edges", keys_fp + "|edges", int(n_pairs), build_edges, "edges", force)
+
+        def build_clusters():
+            nodes = records.select(F.col("url").alias("node"))
+            return C.assign_clusters(edges, nodes)
+
+        clusters = self._run_stage("cluster", keys_fp + "|cluster", int(n_pairs), build_clusters, "clusters", force)
+
+        result = {
+            "n_pages": n_pages,
+            "candidate_pairs": int(n_pairs),
+            "n_clusters": int(clusters.select("cluster_id").distinct().count()),
+            "metrics": self.metrics,
+        }
+        if labeled_pairs is not None:
+            result["evaluation"] = self.evaluate(clusters, labeled_pairs, pairs)
+        return result
+
+    # ---------- training ----------
+
+    def featurize_labeled(self, records: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
+        lp = labeled_pairs.select(
+            F.least("left", "right").alias("url1"),
+            F.greatest("left", "right").alias("url2"),
+            normalize_match(F.col("match")).alias("label"),
+        )
+        wide = P.with_pair_key(P.attach_pair_fields(lp, records))
+        feats = P.featurize(wide.select("pair_key", *P.PAIR_SIDE_COLS).dropDuplicates(["pair_key"]))
+        return wide.select("url1", "url2", "label", "pair_key").join(feats, "pair_key")
+
+    def train(self, records: DataFrame, labeled_pairs: DataFrame) -> LRModel:
+        feat_df = self.featurize_labeled(records, labeled_pairs)
+        rows = feat_df.select("features", "label", "prefilter").collect()
+        X = np.array([r["features"] for r in rows], dtype=np.float64)
+        y = np.array([1.0 if r["label"] else 0.0 for r in rows])
+
+        tr, te = stratified_split(y, self.config.train_frac, self.config.seed)
+        model = fit_logistic_regression(
+            X[tr], y[tr], c=1.0, balanced=True, feature_names=P.FEATURE_NAMES
+        )
+
+        # test-split metrics with prefilter overrides (M6 semantics)
+        pref = np.array([r["prefilter"] for r in rows], dtype=object)
+        p = model.predict_proba(X)
+        p = np.where(pref == "true", 1.0, np.where(pref == "false", 0.0, p))
+        pred = (p >= self.config.decision_threshold).astype(int)
+        self.metrics["train"] = confusion(y[tr], pred[tr])
+        self.metrics["test"] = confusion(y[te], pred[te])
+
+        self._save_model(model)
+        return model
+
+    def _save_model(self, model: LRModel) -> None:
+        import os
+
+        with open(os.path.join(self.catalog.warehouse, "model.json"), "w") as f:
+            json.dump(model.to_dict(), f)
+
+    def _load_model(self) -> LRModel | None:
+        import os
+
+        path = os.path.join(self.catalog.warehouse, "model.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return LRModel.from_dict(json.load(f))
+
+    # ---------- evaluation ----------
+
+    def evaluate(self, clusters: DataFrame, labeled_pairs: DataFrame,
+                 candidate_pairs: DataFrame | None = None) -> dict:
+        """Pairwise F1 of predicted same-cluster vs labels (M6).
+
+        Reported twice: on all labeled pairs, and restricted to labeled pairs
+        that co-occur in at least one block ("at matched blocking keys", the
+        BASELINE.json gate).
+        """
+        lp = labeled_pairs.select(
+            F.least("left", "right").alias("url1"),
+            F.greatest("left", "right").alias("url2"),
+            normalize_match(F.col("match")).alias("label"),
+        )
+        c1 = clusters.select(F.col("entity_id").alias("url1"), F.col("cluster_id").alias("cid1"))
+        c2 = clusters.select(F.col("entity_id").alias("url2"), F.col("cluster_id").alias("cid2"))
+        joined = (
+            lp.join(c1, "url1", "left")
+            .join(c2, "url2", "left")
+            .withColumn(
+                "pred",
+                (F.col("cid1").isNotNull() & (F.col("cid1") == F.col("cid2"))).cast("int"),
+            )
+        )
+        if candidate_pairs is not None:
+            blocked = joined.join(candidate_pairs, ["url1", "url2"], "left_semi")
+        else:
+            blocked = joined
+
+        def conf_of(df: DataFrame) -> dict:
+            r = df.agg(
+                F.sum(((F.col("label") == 1) & (F.col("pred") == 1)).cast("long")).alias("tp"),
+                F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("long")).alias("fp"),
+                F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("long")).alias("fn"),
+                F.sum(((F.col("label") == 0) & (F.col("pred") == 0)).cast("long")).alias("tn"),
+            ).collect()[0]
+            tp, fp, fn, tn = (int(r[k] or 0) for k in ("tp", "fp", "fn", "tn"))
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / (tp + fn) if tp + fn else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            return {"tp": tp, "fp": fp, "fn": fn, "tn": tn,
+                    "precision": prec, "recall": rec, "f1": f1}
+
+        out = {"all_pairs": conf_of(joined), "blocked_pairs": conf_of(blocked)}
+        self.metrics["evaluation"] = out
+        return out
+
+    def export_clusters_csv(self, path: str) -> None:
+        """S7: CSV export (cluster_id, entity_id) mirroring clustering.py:1102-1136."""
+        self.catalog.read("clusters").select("cluster_id", "entity_id").write.mode(
+            "overwrite"
+        ).option("header", True).csv(path)
+
+
+def normalize_match(col):
+    """Truthy-string normalization (S2, parallel_features.py:386-411)."""
+    return (
+        F.when(F.lower(col.cast("string")).isin("true", "yes", "t", "y", "1", "match"), 1)
+        .otherwise(0)
+    )

@@ -1,0 +1,189 @@
+"""Warehouse catalog + per-partition checkpoint manifest.
+
+Replaces the reference's DataManager registry and pickle/JSON stage
+checkpoints (/root/reference/src/data_manager.py:60-91,
+/root/reference/src/utils.py:167-232) with a table catalog:
+
+- On a real cluster this is an Iceberg catalog (``writeTo(...).createOrReplace``
+  gives snapshot isolation + MERGE idempotency). Iceberg runtime jars are not
+  present in this sandbox, so the catalog transparently falls back to parquet
+  directories under a warehouse path with atomic overwrite semantics
+  (write-to-temp + rename is unnecessary: Spark's parquet overwrite is
+  job-atomic via the output committer).
+
+- ``Manifest`` is the north_rule lineage table: one row per (run, stage,
+  partition) with rows_in/rows_out/wall_ms and the stage input fingerprint.
+  Stage completion probing (resume) = a manifest read + output-table
+  existence check, mirroring /root/reference/src/pipeline.py:230-261.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("stage", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("status", StringType()),
+        StructField("rows_in", LongType()),
+        StructField("rows_out", LongType()),
+        StructField("wall_ms", LongType()),
+        StructField("input_fingerprint", StringType()),
+        StructField("committed_at", TimestampType()),
+    ]
+)
+
+
+class Catalog:
+    """Parquet-dir warehouse with Iceberg-compatible call shape."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None, buckets: tuple[int, str] | None = None) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        # bucketing needs a metastore table; with the parquet-dir fallback we
+        # approximate co-location by repartitioning on the bucket key.
+        if buckets:
+            n, col = buckets
+            df = df.repartition(n, col)
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def drop(self, name: str) -> None:
+        import shutil
+
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
+def fingerprint_df(df: DataFrame, key_cols: list[str]) -> str:
+    """Order-insensitive content fingerprint: sum + xor-ish of xxhash64(keys).
+
+    One cheap agg job; used as the manifest ``input_fingerprint`` so resume
+    can prove the stage input is unchanged.
+    """
+    h = F.xxhash64(*[F.col(c).cast("string") for c in key_cols])
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}"
+
+
+class Manifest:
+    """Per-partition lineage + metrics writer/reader."""
+
+    TABLE = "checkpoint_manifest"
+
+    def __init__(self, catalog: Catalog, run_id: str | None = None):
+        self.catalog = catalog
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    def _partition_counts(self, df: DataFrame) -> list[tuple[int, int]]:
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        return [(int(r["partition_id"]), int(r["count"])) for r in rows]
+
+    def record_stage(
+        self,
+        stage: str,
+        df_out: DataFrame,
+        rows_in: int,
+        wall_ms: int,
+        input_fingerprint: str,
+        status: str = "ok",
+    ) -> None:
+        """Append one manifest row per output partition."""
+        parts = self._partition_counts(df_out) or [(0, 0)]
+        now = time.time()
+        pdf_rows = [
+            (
+                self.run_id,
+                stage,
+                pid,
+                status,
+                rows_in,
+                cnt,
+                wall_ms,
+                input_fingerprint,
+            )
+            for pid, cnt in parts
+        ]
+        df = self.catalog.spark.createDataFrame(
+            [
+                r + (None,)
+                for r in pdf_rows
+            ],
+            schema=MANIFEST_SCHEMA,
+        ).withColumn("committed_at", F.lit(now).cast("timestamp"))
+        self.catalog.append(df, self.TABLE)
+
+    def record_skipped(self, stage: str, input_fingerprint: str) -> None:
+        df = self.catalog.spark.createDataFrame(
+            [(self.run_id, stage, -1, "skipped", 0, 0, 0, input_fingerprint, None)],
+            schema=MANIFEST_SCHEMA,
+        ).withColumn("committed_at", F.current_timestamp())
+        self.catalog.append(df, self.TABLE)
+
+    def read(self) -> DataFrame | None:
+        if not self.catalog.exists(self.TABLE):
+            return None
+        return self.catalog.read(self.TABLE)
+
+    def stage_complete(self, stage: str, input_fingerprint: str) -> bool:
+        """True when a prior run committed this stage for the same input."""
+        m = self.read()
+        if m is None:
+            return False
+        n = (
+            m.where(
+                (F.col("stage") == stage)
+                & (F.col("status") == "ok")
+                & (F.col("input_fingerprint") == input_fingerprint)
+            )
+            .limit(1)
+            .count()
+        )
+        return n > 0

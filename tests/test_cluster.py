@@ -1,0 +1,87 @@
+"""Connected-components and clustering operator tests (FIXTURES.md §5)."""
+
+import pyspark.sql.functions as F
+
+from entity_resolution_pipeline_spark.operators.cluster import (
+    assign_clusters,
+    build_edges,
+    connected_components,
+    transitivity_one_hop,
+)
+
+
+def _cc_map(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_cc_chain_long_diameter(spark):
+    # a-b-c-...-j: one component, min id wins
+    nodes = [f"n{i:02d}" for i in range(12)]
+    edges = list(zip(nodes, nodes[1:]))
+    m = _cc_map(spark, edges)
+    assert set(m) == set(nodes)
+    assert set(m.values()) == {"n00"}
+
+
+def test_cc_star(spark):
+    edges = [("hub", f"leaf{i}") for i in range(8)]
+    m = _cc_map(spark, edges)
+    assert set(m.values()) == {"hub"}
+    assert len(m) == 9
+
+
+def test_cc_two_components_and_dupes(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("b", "a"), ("c", "c")]
+    m = _cc_map(spark, edges)
+    assert m["a"] == m["b"] == m["c"] == "a"
+    assert m["x"] == m["y"] == "x"
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(df).count() == 0
+
+
+def test_assign_clusters_singletons(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("solo",)], "node string")
+    rows = {r["entity_id"]: r["cluster_id"] for r in assign_clusters(edges, nodes).collect()}
+    assert rows == {"a": "a", "b": "a", "solo": "solo"}
+
+
+def test_edge_weight_floor_severs_component(spark):
+    # 0.5 floor (config.yml:135): the weak a-b edge must not merge a with b
+    scored = spark.createDataFrame(
+        [("a", "b", 0.95), ("b", "c", 0.4), ("c", "d", 0.92)],
+        "url1 string, url2 string, confidence double",
+    )
+    edges = build_edges(scored, min_edge_weight=0.5, decision_threshold=0.9)
+    assert edges.count() == 2  # 0.4 dropped (and 0.4 < threshold anyway)
+    nodes = spark.createDataFrame([(x,) for x in "abcd"], "node string")
+    m = {r["entity_id"]: r["cluster_id"] for r in assign_clusters(edges, nodes).collect()}
+    assert m["a"] == m["b"]
+    assert m["c"] == m["d"]
+    assert m["a"] != m["c"]
+
+
+def test_transitivity_one_hop(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8)], "src string, dst string, weight double"
+    )
+    out = transitivity_one_hop(edges, threshold=0.5)
+    rows = {(r["src"], r["dst"]): r["weight"] for r in out.collect()}
+    assert rows[("a", "c")] == 0.9 * 0.8
+    # below-threshold products excluded
+    out2 = transitivity_one_hop(edges, threshold=0.8)
+    assert ("a", "c") not in {(r["src"], r["dst"]) for r in out2.collect()}
+
+
+def test_cc_partitioning_invariance(spark):
+    edges = [(f"a{i}", f"a{i+1}") for i in range(20)] + [("z1", "z2")]
+    df1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    df8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    m1 = {r["node"]: r["component"] for r in connected_components(df1).collect()}
+    m8 = {r["node"]: r["component"] for r in connected_components(df8).collect()}
+    assert m1 == m8

@@ -1,38 +1,785 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+over the driver's testdata tables; ``oracle_sql()`` gives the DuckDB-checkable
+equivalent (omitted for genuinely non-SQL ops: iterative CC is validated via a
+SQL-derivable graph instead, MinHash/SimHash/IVF are rows-only).
+``entry(spark)`` runs the flagship near-dup + connected-components flow on
+sf0.001.
+
+Column names are aliased identically on both sides; float results are rounded
+identically on both sides (the driver compares order-insensitive value
+hashes).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F  # noqa: N812
 
+from entity_resolution_pipeline_spark.operators import ann as _ann
+from entity_resolution_pipeline_spark.operators import cluster as _cluster
+from entity_resolution_pipeline_spark.operators import dedup as _dedup
+from entity_resolution_pipeline_spark.operators import textstats as _ts
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_EN = sorted(
+    __import__(
+        "entity_resolution_pipeline_spark.functions.text", fromlist=["STOPWORDS"]
+    ).STOPWORDS["en"]
+)
+_LANGS = ["de", "en", "es", "fr"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _norm(c):
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+_NORM_SQL = "trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# projections / filters
+# --------------------------------------------------------------------------
+
+def q_p1_null_projection(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("text") == "", None).otherwise(F.col("text")).alias("text_nn"),
+        F.when(F.col("lang") == "", None).otherwise(F.col("lang")).alias("lang_nn"),
+        "n_chars",
+    )
+
+
+def q_p2_normalize_text(spark, sf_dir):
+    """The invariant normalizer (pandas UDF, Python re) vs SQL regexp."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from entity_resolution_pipeline_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("norm_text", StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "norm_text": [normalize_text(t) for t in pdf["text"]]}
+            )
+
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+
+def q_a1_unique_strings(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(_norm(F.col("text")).alias("value"), "doc_id")
+        .groupBy("value")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_a3_field_usage(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_a4_field_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_occurrences"),
+            F.countDistinct("text").alias("distinct_values"),
+        )
+    )
+
+
+def q_a6_null_heuristic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 0.15 * total)
+    )
+
+
+def q_a9_confusion(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") == 0).cast("int").alias("y"),
+        (F.col("vec_id") % 2 == 0).cast("int").alias("pred"),
+    )
+    return e.agg(
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("pred") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("pred") == 0)).cast("long")).alias("tn"),
+    )
+
+
+def q_a10_cluster_stats(spark, sf_dir):
+    sizes = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.round(F.avg("size"), 6).alias("mean_size"),
+        F.expr("percentile(size, 0.5)").alias("median_size"),
+        F.round(F.stddev_pop("size"), 6).alias("std_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# windows / top-k / sorts
+# --------------------------------------------------------------------------
+
+def q_w1_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def q_w2_mode_value(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("votes"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "votes")
+    )
+
+
+def q_w3_largest_groups(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# joins / set ops
+# --------------------------------------------------------------------------
+
+def q_j1_blocking_selfjoin(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(_norm(F.col("text")), 1, 10).alias("bkey")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, "bkey")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("bkey"),
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+    )
+
+
+def q_j2_dim_lookup_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_so1_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_so4_distinct_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.countDistinct("text").alias("n_distinct_texts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar functions
+# --------------------------------------------------------------------------
+
+def q_f3_levenshtein_pairs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    max_len = F.greatest(F.length("a.p_name"), F.length("b.p_name"))
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_size") == F.col("b.p_size")))
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("p1"),
+            F.col("b.p_partkey").alias("p2"),
+            lev.alias("lev_dist"),
+            F.round(
+                F.when(max_len > 0, 1.0 - lev.cast("double") / max_len).otherwise(1.0), 6
+            ).alias("lev_sim"),
+        )
+    )
+
+
+def q_f6_interactions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = F.col("l_discount"), F.col("l_tax")
+    harmonic = F.when((a > 0) & (b > 0), 2 * a * b / (a + b)).otherwise(0.0)
+    ratio = F.least(F.when(b > 0, a / b).otherwise(0.0), F.lit(10.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(harmonic, 6).alias("harmonic"),
+        F.round(a * b, 6).alias("product"),
+        F.round(ratio, 6).alias("ratio_capped"),
+    )
+
+
+def q_f9_year_extraction(spark, sf_dir):
+    """Canonical birth-death range strings -> (birth, death) via the full
+    15-pattern UDF chain; the oracle needs only the range regex because the
+    constructed strings are canonical pattern-4 forms."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from entity_resolution_pipeline_spark.functions.years import extract_birth_death_years
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            F.lit(", "),
+            (F.lit(1500) + F.col("p_size") * 3 % 380).cast("int").cast("string"),
+            F.lit("-"),
+            (F.lit(1540) + F.col("p_size") * 3 % 380).cast("int").cast("string"),
+        ).alias("name_str"),
+    )
+    schema = StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("birth_year", IntegerType()),
+            StructField("death_year", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ys = [extract_birth_death_years(s) for s in pdf["name_str"]]
+            yield pd.DataFrame(
+                {
+                    "p_partkey": pdf["p_partkey"],
+                    "birth_year": [y[0] for y in ys],
+                    "death_year": [y[1] for y in ys],
+                }
+            )
+
+    return p.mapInPandas(run, schema=schema)
+
+
+def q_f12_sigmoid_threshold(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    z = 3.0 * F.col("l_discount") - 2.0 * F.col("l_tax") + 0.5
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(prob, 6).alias("match_prob"),
+        (prob >= 0.6).cast("int").alias("pred"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_token_counts(spark, sf_dir):
+    return _ts.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    q = _ts.quality(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    return _ts.language_id(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# dedup / similarity
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return _dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    out = _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select("doc_id1", "doc_id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn("blk", F.concat(
+        F.col("label").cast("string"), F.lit("|"), (F.col("vec_id") % 10).cast("string")
+    ))
+    out = _dedup.embedding_cosine_pairs(e, threshold=0.2, block_col="blk")
+    return out.select("doc_id1", "doc_id2", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = _ann.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_cc_components(spark, sf_dir):
+    """Iterative large-star/small-star CC on a SQL-derivable graph: every
+    doc links to its bucket hub (5*floor(id/5)); components = buckets with
+    >= 2 members, labeled by their min id."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            (F.floor(F.col("doc_id") / 5) * 5).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    # hubs might not exist as rows; CC treats ids as abstract nodes, matching
+    # the oracle which derives the same bucket membership
+    return _cluster.connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+# ---- non-SQL-expressible (rows-only checks) ----
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    out = _dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select("doc_id1", "doc_id2", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return _dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = _ann.ivf_topk(e, e.where(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_text_fingerprints(spark, sf_dir):
+    return _ts.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_mime(spark, sf_dir):
+    from entity_resolution_pipeline_spark.operators.multimodal import media_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(bytes(b"\x89PNG")), F.encode("text", "UTF-8")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(bytes(b"\xff\xd8\xff")), F.encode("text", "UTF-8")))
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    df = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+    return media_metadata(df)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup blocking (MinHash LSH) + connected components over
+    sf0.001 documents — the ER DAG's blocking->pairs->cluster spine."""
+    docs = _t(spark, SF_DEFAULT, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs, threshold=0.4, num_perm=64, bands=16)
+    edges = pairs.select(
+        F.col("doc_id1").cast("string").alias("src"),
+        F.col("doc_id2").cast("string").alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").cast("string").alias("node"))
+    clusters = _cluster.assign_clusters(edges, nodes)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return clusters.join(sizes, "cluster_id").select("entity_id", "cluster_id", "size")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "p1_null_projection": q_p1_null_projection,
+        "p2_normalize_text": q_p2_normalize_text,
+        "a1_unique_strings": q_a1_unique_strings,
+        "a3_field_usage": q_a3_field_usage,
+        "a4_field_stats": q_a4_field_stats,
+        "a6_null_heuristic": q_a6_null_heuristic,
+        "a9_confusion": q_a9_confusion,
+        "a10_cluster_stats": q_a10_cluster_stats,
+        "w1_topk_per_group": q_w1_topk_per_group,
+        "w2_mode_value": q_w2_mode_value,
+        "w3_largest_groups": q_w3_largest_groups,
+        "j1_blocking_selfjoin": q_j1_blocking_selfjoin,
+        "j2_dim_lookup_join": q_j2_dim_lookup_join,
+        "so1_anti_join": q_so1_anti_join,
+        "so4_distinct_count": q_so4_distinct_count,
+        "f3_levenshtein_pairs": q_f3_levenshtein_pairs,
+        "f6_interactions": q_f6_interactions,
+        "f9_year_extraction": q_f9_year_extraction,
+        "f12_sigmoid_threshold": q_f12_sigmoid_threshold,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "cc_components": q_cc_components,
+        "multimodal_mime": q_multimodal_mime,
+        # rows-only (no SQL equivalent)
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_fingerprints": q_text_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = _NORM_SQL.format(c="text")
+    en_list = "[" + ",".join(f"'{w}'" for w in _EN) + "]"
+    lang_lists = {
+        lang: "["
+        + ",".join(
+            f"'{w}'"
+            for w in sorted(
+                __import__(
+                    "entity_resolution_pipeline_spark.functions.text",
+                    fromlist=["STOPWORDS"],
+                ).STOPWORDS[lang]
+            )
+        )
+        + "]"
+        for lang in _LANGS
+    }
+    hits = {
+        lang: (
+            f"len(list_intersect(list_distinct(str_split(lower({norm}), ' ')), {lst}))"
+        )
+        for lang, lst in lang_lists.items()
+    }
+    return {
+        "p1_null_projection": """
+            SELECT doc_id,
+                   CASE WHEN text = '' THEN NULL ELSE text END AS text_nn,
+                   CASE WHEN lang = '' THEN NULL ELSE lang END AS lang_nn,
+                   n_chars
+            FROM documents
+        """,
+        "p2_normalize_text": f"""
+            SELECT doc_id, {norm} AS norm_text FROM documents
+        """,
+        "a1_unique_strings": f"""
+            SELECT {norm} AS value, min(doc_id) AS rep_id, count(*) AS cnt
+            FROM documents GROUP BY 1
+        """,
+        "a3_field_usage": """
+            SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source
+        """,
+        "a4_field_stats": """
+            SELECT source, count(*) AS total_occurrences,
+                   count(DISTINCT text) AS distinct_values
+            FROM documents GROUP BY source
+        """,
+        "a6_null_heuristic": """
+            SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+            HAVING count(*) > 0.15 * (SELECT count(*) FROM documents)
+        """,
+        "a9_confusion": """
+            WITH e AS (
+              SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+                     CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS pred
+              FROM embeddings)
+            SELECT sum(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS fn,
+                   sum(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS tn
+            FROM e
+        """,
+        "a10_cluster_stats": """
+            WITH sizes AS (
+              SELECT o_custkey, count(*) AS size FROM orders GROUP BY o_custkey)
+            SELECT count(*) AS n_clusters,
+                   min(size) AS min_size,
+                   max(size) AS max_size,
+                   round(avg(size), 6) AS mean_size,
+                   median(size) AS median_size,
+                   round(stddev_pop(size), 6) AS std_size
+            FROM sizes
+        """,
+        "w1_topk_per_group": """
+            SELECT o_custkey, o_orderkey, rnk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders WHERE o_custkey < 200)
+            WHERE rnk <= 3
+        """,
+        "w2_mode_value": """
+            SELECT o_orderstatus, mode_priority, votes FROM (
+              SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                     count(*) AS votes,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+              FROM orders GROUP BY o_orderstatus, o_orderpriority)
+            WHERE rn = 1
+        """,
+        "w3_largest_groups": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_customers DESC, n_name ASC
+            LIMIT 10
+        """,
+        "j1_blocking_selfjoin": f"""
+            WITH d AS (SELECT doc_id, substr({norm}, 1, 10) AS bkey FROM documents)
+            SELECT a.bkey, a.doc_id AS doc_id1, b.doc_id AS doc_id2
+            FROM d a JOIN d b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        """,
+        "j2_dim_lookup_join": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "so1_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "so4_distinct_count": """
+            SELECT lang, count(DISTINCT text) AS n_distinct_texts
+            FROM documents GROUP BY lang
+        """,
+        "f3_levenshtein_pairs": """
+            SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+                   levenshtein(a.p_name, b.p_name) AS lev_dist,
+                   round(CASE WHEN greatest(length(a.p_name), length(b.p_name)) > 0
+                         THEN 1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+                              / greatest(length(a.p_name), length(b.p_name))
+                         ELSE 1.0 END, 6) AS lev_sim
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+        """,
+        "f6_interactions": """
+            SELECT l_orderkey, l_linenumber,
+                   round(CASE WHEN l_discount > 0 AND l_tax > 0
+                         THEN 2 * l_discount * l_tax / (l_discount + l_tax)
+                         ELSE 0.0 END, 6) AS harmonic,
+                   round(l_discount * l_tax, 6) AS product,
+                   round(least(CASE WHEN l_tax > 0 THEN l_discount / l_tax
+                               ELSE 0.0 END, 10.0), 6) AS ratio_capped
+            FROM lineitem
+        """,
+        "f9_year_extraction": """
+            WITH p AS (
+              SELECT p_partkey,
+                     p_name || ', ' || (1500 + p_size * 3 % 380)::VARCHAR
+                            || '-'  || (1540 + p_size * 3 % 380)::VARCHAR AS name_str
+              FROM part)
+            SELECT p_partkey,
+                   regexp_extract(name_str, '(\\d{2,4})\\s*-\\s*(\\d{2,4})', 1)::INT AS birth_year,
+                   regexp_extract(name_str, '(\\d{2,4})\\s*-\\s*(\\d{2,4})', 2)::INT AS death_year
+            FROM p
+        """,
+        "f12_sigmoid_threshold": """
+            SELECT l_orderkey, l_linenumber,
+                   round(1.0 / (1.0 + exp(-(3.0 * l_discount - 2.0 * l_tax + 0.5))), 6) AS match_prob,
+                   CASE WHEN 1.0 / (1.0 + exp(-(3.0 * l_discount - 2.0 * l_tax + 0.5))) >= 0.6
+                        THEN 1 ELSE 0 END AS pred
+            FROM lineitem
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   CASE WHEN {norm} = '' THEN 0
+                        ELSE len(str_split({norm}, ' ')) END AS n_tokens_ws,
+                   length({norm}) AS n_chars_norm
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nt FROM documents),
+            t AS (SELECT doc_id, nt, length(nt) AS n_chars,
+                         CASE WHEN nt = '' THEN [] ELSE str_split(nt, ' ') END AS toks
+                  FROM d)
+            SELECT doc_id, n_chars,
+                   len(toks) AS n_tokens,
+                   round(CASE WHEN n_chars > 0 THEN
+                     (n_chars - length(regexp_replace(nt, '[^\\w\\s]', '', 'g')))::DOUBLE / n_chars
+                     ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> list_contains({en_list}, lower(x))))::DOUBLE / len(toks)
+                     ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                     ELSE 0.0 END, 6) AS mean_word_len
+            FROM t
+        """,
+        "text_langid": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN {norm} = '' THEN 0
+                          ELSE len(str_split({norm}, ' ')) END AS n_tokens,
+                     {hits['de']} AS h_de, {hits['en']} AS h_en,
+                     {hits['es']} AS h_es, {hits['fr']} AS h_fr
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN n_tokens = 0 THEN 'und'
+                   WHEN greatest(h_de, h_en, h_es, h_fr)::DOUBLE / n_tokens < 0.02 THEN 'und'
+                   WHEN h_fr > greatest(h_de, h_en, h_es) THEN 'fr'
+                   WHEN h_es > greatest(h_de, h_en) THEN 'es'
+                   WHEN h_en > h_de THEN 'en'
+                   ELSE 'de' END AS lang_pred
+            FROM t
+        """,
+        "dedup_exact": f"""
+            WITH k AS (SELECT doc_id, {norm} AS nt FROM documents),
+            g AS (SELECT nt, min(doc_id) AS keep_id, count(*) AS group_size
+                  FROM k GROUP BY nt)
+            SELECT k.doc_id, g.keep_id, g.group_size
+            FROM k JOIN g ON k.nt = g.nt
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(str_split(lower({norm}), ' ')) AS toks,
+                     str_split(lower({norm}), ' ')[1] AS bkey
+              FROM documents
+              WHERE lower({norm}) <> ''),
+            p AS (
+              SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                     len(list_intersect(a.toks, b.toks))::DOUBLE
+                       / len(list_distinct(list_concat(a.toks, b.toks))) AS j
+              FROM d a JOIN d b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+            SELECT doc_id1, doc_id2, round(j, 6) AS jaccard
+            FROM p WHERE j >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     label::VARCHAR || '|' || (vec_id % 10)::VARCHAR AS blk,
+                     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+              FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS doc_id1, b.vec_id AS doc_id2,
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              z -> z[1]::DOUBLE * z[2])) / (a.nrm * b.nrm) AS c
+              FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+              WHERE a.nrm > 0 AND b.nrm > 0)
+            SELECT doc_id1, doc_id2, round(c, 4) AS cosine
+            FROM p WHERE c >= 0.2
+        """,
+        "ann_bruteforce_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+              FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 5),
+            s AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                              z -> z[1]::DOUBLE * z[2])) / (q.nrm * e.nrm) AS c
+              FROM q JOIN e ON q.vec_id <> e.vec_id
+              WHERE q.nrm > 0 AND e.nrm > 0),
+            r AS (
+              SELECT query_id, neighbor_id, c,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, neighbor_id ASC) AS rank
+              FROM s)
+            SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+            FROM r WHERE rank <= 10
+        """,
+        "cc_components": """
+            WITH m AS (
+              SELECT doc_id, (doc_id // 5) * 5 AS bucket FROM documents),
+            counts AS (
+              SELECT bucket, count(*) AS n,
+                     count(CASE WHEN doc_id <> bucket THEN 1 END) AS n_nonhub,
+                     min(doc_id) AS mn
+              FROM m GROUP BY bucket),
+            nodes AS (
+              -- CC sees hub ids as nodes even when absent from the table;
+              -- every doc contributes itself plus its bucket hub
+              SELECT DISTINCT doc_id AS node, bucket FROM m WHERE doc_id <> bucket
+              UNION
+              SELECT DISTINCT bucket AS node, bucket FROM m WHERE doc_id <> bucket)
+            SELECT n.node, least(c.mn, n.bucket) AS component
+            FROM nodes n JOIN counts c ON n.bucket = c.bucket
+        """,
+        "multimodal_mime": """
+            SELECT doc_id AS id,
+                   CASE
+                     WHEN doc_id % 3 = 0 THEN 'image/png'
+                     WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                     WHEN lower(text) LIKE '<html%' OR lower(text) LIKE '<!doc%' THEN 'text/html'
+                     WHEN lower(text) LIKE 'gif8%' THEN 'image/gif'
+                     WHEN lower(text) LIKE 'riff%' THEN 'audio/wav'
+                     WHEN lower(text) LIKE 'id3%' THEN 'audio/mp3'
+                     ELSE 'application/octet-stream'
+                   END AS mime,
+                   octet_length(encode(text))
+                     + CASE WHEN doc_id % 3 = 0 THEN 4
+                            WHEN doc_id % 3 = 1 THEN 3 ELSE 0 END AS n_bytes
+            FROM documents
+        """,
+    }

@@ -169,13 +169,15 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
     sh = docs.select("doc_id", text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
     sh.persist()
     # 4 bands of 16 bits: any pair with hamming<=3 shares at least one band
-    u = F.col("simhash").cast("decimal(20,0)") + F.lit(1 << 63).cast("decimal(20,0)")
     banded = sh.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(*[
-                (F.lit(i) * F.lit(1 << 16) + ((u / F.lit(1 << (16 * i))).cast("long") % F.lit(1 << 16))).alias(f"b{i}")
+                (
+                    F.lit(i * (1 << 16))
+                    + F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                ).alias(f"b{i}")
                 for i in range(4)
             ])
         ).alias("band"),

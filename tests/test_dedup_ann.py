@@ -1,0 +1,203 @@
+"""Dedup suite, ANN, text stats, imputation, multimodal plumbing tests."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from entity_resolution_pipeline_spark.functions.text import (
+    detect_language,
+    fingerprint,
+    quality_scores,
+)
+from entity_resolution_pipeline_spark.operators.ann import brute_force_topk, ivf_topk
+from entity_resolution_pipeline_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from entity_resolution_pipeline_spark.operators.embed import embed_unique_strings
+from entity_resolution_pipeline_spark.operators.impute import impute_field
+from entity_resolution_pipeline_spark.operators.multimodal import (
+    decode_image_features,
+    media_metadata,
+)
+from entity_resolution_pipeline_spark.operators.textstats import (
+    fingerprints,
+    language_id,
+    quality,
+    token_counts,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, "the  quick brown fox jumps over the lazy dog and runs far away today "),  # ws dup of 0
+        (3, base.replace("dog", "cat")),             # near dup
+        (4, "completely different text about spark shuffles and parquet files here"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        out = {r["doc_id"]: r for r in exact_dedup(_docs(spark)).collect()}
+        assert out[0]["keep_id"] == 0 and out[0]["group_size"] == 3
+        assert out[2]["keep_id"] == 0  # whitespace-normalized dup
+        assert out[3]["group_size"] == 1
+
+    def test_ngram_jaccard(self, spark):
+        pairs = {(r["doc_id1"], r["doc_id2"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert (0, 3) in pairs  # one word changed
+        assert (0, 4) not in pairs
+
+    def test_minhash_lsh(self, spark):
+        pairs = {(r["doc_id1"], r["doc_id2"]) for r in
+                 minhash_lsh_pairs(_docs(spark), threshold=0.6).collect()}
+        assert (0, 1) in pairs and (0, 2) in pairs
+        assert (0, 4) not in pairs
+
+    def test_simhash(self, spark):
+        pairs = {(r["doc_id1"], r["doc_id2"]): r["hamming"]
+                 for r in simhash_pairs(_docs(spark), max_hamming=6).collect()}
+        assert pairs[(0, 1)] == 0
+        assert (0, 4) not in pairs
+
+    def test_embedding_cosine(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),
+                (1, [0.99, 0.1, 0.0]),
+                (2, [0.0, 1.0, 0.0]),
+                (3, [0.0, 0.0, 0.0]),  # zero norm -> excluded
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        pairs = {(r["doc_id1"], r["doc_id2"]): r["cosine"]
+                 for r in embedding_cosine_pairs(emb, threshold=0.9).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+        assert (0, 2) not in pairs
+        assert all(3 not in p for p in pairs)
+
+
+class TestANN:
+    def _emb(self, spark, n=80, d=8):
+        rng = np.random.RandomState(7)
+        rows = [(i, rng.randn(d).astype(float).tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_exact(self, spark):
+        emb = self._emb(spark)
+        out = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+        rows = out.collect()
+        assert len(rows) == 15
+        # verify against numpy
+        pdf = emb.toPandas().sort_values("vec_id")
+        V = np.array(pdf["embedding"].tolist())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Vn.T
+        for q in range(3):
+            s = sims[q].copy()
+            s[q] = -np.inf
+            expect = set(np.argsort(-s)[:5])
+            got = {r["neighbor_id"] for r in rows if r["query_id"] == q}
+            assert got == expect
+
+    def test_ivf_recall(self, spark):
+        emb = self._emb(spark, n=120)
+        q = emb.where(F.col("vec_id") < 5)
+        exact = brute_force_topk(emb, q, k=5)
+        approx = ivf_topk(emb, q, k=5, n_cells=8, nprobe=4)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.6  # nprobe=4 of 8 cells
+
+
+class TestTextStats:
+    def test_token_counts_vs_python(self, spark):
+        docs = _docs(spark)
+        out = {r["doc_id"]: r["n_tokens_ws"] for r in token_counts(docs).collect()}
+        for r in docs.collect():
+            expected = len(r["text"].split()) if r["text"].strip() else 0
+            assert out[r["doc_id"]] == expected
+
+    def test_quality_matches_kernel(self, spark):
+        docs = _docs(spark)
+        out = {r["doc_id"]: r for r in quality(docs).collect()}
+        for r in docs.collect():
+            q = quality_scores(r["text"])
+            got = out[r["doc_id"]]
+            assert got["n_tokens"] == q["n_tokens"]
+            assert got["punct_ratio"] == pytest.approx(q["punct_ratio"])
+            assert got["stopword_ratio"] == pytest.approx(q["stopword_ratio"])
+            assert got["mean_word_len"] == pytest.approx(q["mean_word_len"])
+
+    def test_language_id_matches_kernel(self, spark):
+        rows = [
+            (0, "the cat sat on the mat and it was very happy there"),
+            (1, "le chat est dans la maison avec une petite souris"),
+            (2, "zzz qqq"),
+            (3, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+        for i, t in rows:
+            assert out[i] == detect_language(t), (i, t)
+
+    def test_fingerprints_match_kernel(self, spark):
+        docs = _docs(spark)
+        out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+        for r in docs.collect():
+            assert out[r["doc_id"]] == fingerprint(r["text"]) - (1 << 62)
+
+
+class TestImpute:
+    def test_modal_donor(self, spark):
+        records = spark.createDataFrame(
+            [
+                ("u1", "Smith, John", "Smith a b", None),
+                ("u2", "Smith, Jane", "Smith a b", "London"),
+                ("u3", "Smith, Jack", "Smith a b c", "London"),
+                ("u4", "Smith, Jill", "Smith a x", "Paris"),
+                ("u5", "Jones, Amy", "Jones q r", "Venice"),  # other block
+            ],
+            "url string, person string, composite string, provision string",
+        ).withColumn("composite_h", F.sha1("composite"))
+        us = records.select(F.col("composite_h").alias("hash"), F.col("composite").alias("value")).distinct()
+        emb = embed_unique_strings(us)
+        out = impute_field(records, emb, "provision", sim_threshold=0.1).collect()
+        assert len(out) == 1
+        assert out[0]["url"] == "u1"
+        assert out[0]["imputed_value"] == "London"
+        assert out[0]["donor_count"] >= 2
+
+
+class TestMultimodal:
+    def test_metadata_and_fake_decode(self, spark):
+        rows = [
+            (0, bytearray(b"\x89PNG\r\n" + bytes(range(250)))),
+            (1, bytearray(b"\xff\xd8\xff\xe0payload")),
+            (2, bytearray(b"plain bytes")),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        meta = {r["id"]: r for r in media_metadata(df).collect()}
+        assert meta[0]["mime"] == "image/png"
+        assert meta[1]["mime"] == "image/jpeg"
+        assert meta[2]["mime"] == "application/octet-stream"
+        assert meta[3]["n_bytes"] == 0
+        feats = {r["id"]: r for r in decode_image_features(df).collect()}
+        assert len(feats[0]["features"]) == 16
+        assert abs(sum(feats[0]["features"]) - 1.0) < 1e-5
+        assert feats[3]["features"] == [0.0] * 16
+        # determinism
+        feats2 = {r["id"]: r for r in decode_image_features(df).collect()}
+        assert feats2[0]["features"] == feats[0]["features"]

@@ -1,0 +1,150 @@
+"""Pairwise feature semantics (§2.7 F3-F10, P10-P12) + classifier tests."""
+
+import numpy as np
+import pytest
+
+from entity_resolution_pipeline_spark.functions.hashing import hash_string
+from entity_resolution_pipeline_spark.functions.similarity import (
+    levenshtein_sim,
+    token_sort_ratio,
+)
+from entity_resolution_pipeline_spark.operators.classify import (
+    confusion,
+    fit_logistic_regression,
+    stratified_split,
+)
+from entity_resolution_pipeline_spark.operators.pairs import (
+    FEATURE_NAMES,
+    _BatchMemo,
+    compute_features_row,
+)
+
+FIELDS = ["composite", "person", "title", "provision", "subjects"]
+
+
+def _row(side1: dict, side2: dict) -> dict:
+    row = {}
+    for f in FIELDS:
+        v1, v2 = side1.get(f), side2.get(f)
+        row[f + "1"], row[f + "2"] = v1, v2
+        row[f + "_h1"] = hash_string(v1) if v1 is not None else None
+        row[f + "_h2"] = hash_string(v2) if v2 is not None else None
+    return row
+
+
+def _fv(side1, side2):
+    fv, pref = compute_features_row(_row(side1, side2), _BatchMemo())
+    return dict(zip(FEATURE_NAMES, fv)), pref
+
+
+class TestFeatures:
+    def test_identical_records(self):
+        s = {"person": "Smith, John, 1840-1902", "title": "essays of law",
+             "provision": "London 1850", "subjects": "law poetry",
+             "composite": "Smith, John, 1840-1902 essays of law London 1850 law poetry"}
+        f, pref = _fv(s, s)
+        assert pref == "true"  # exact name + years (P10)
+        for name in ["person_cosine", "title_cosine", "provision_cosine",
+                     "subjects_cosine", "composite_cosine", "person_levenshtein"]:
+            assert f[name] == 1.0
+        assert f["birth_year_match"] == 1.0
+        assert f["death_year_match"] == 1.0
+        assert f["has_birth_death_years"] == 1.0
+
+    def test_composite_equality_prefilter(self):
+        # same composite, no years -> P11 fires (P10 needs years)
+        a = {"person": "Smith, John", "composite": "Smith, John X"}
+        b = {"person": "Smith, John", "composite": "Smith, John X"}
+        _, pref = _fv(a, b)
+        assert pref == "true"
+
+    def test_person_dissimilarity_prefilter(self):
+        a = {"person": "Smith, John", "composite": "c1"}
+        b = {"person": "Zzzz, Qqqq", "composite": "c2"}
+        f, pref = _fv(a, b)
+        assert pref == "false"
+        assert f["person_levenshtein"] == pytest.approx(
+            levenshtein_sim("Smith, John", "Zzzz, Qqqq")
+        )
+
+    def test_estimated_cosine_semantics(self):
+        # person -> levenshtein; other fields -> token_sort_ratio (F5 quirk)
+        a = {"person": "Smith, John", "title": "essays of law", "composite": "x a"}
+        b = {"person": "Smith, Joan", "title": "law of essays", "composite": "x b"}
+        f, _ = _fv(a, b)
+        assert f["person_cosine"] == pytest.approx(levenshtein_sim("Smith, John", "Smith, Joan"))
+        assert f["title_cosine"] == pytest.approx(token_sort_ratio("essays of law", "law of essays"))
+        assert f["title_cosine"] == 1.0  # token reorder invisible to token_sort
+
+    def test_missing_fields_zero(self):
+        a = {"person": "Smith, John", "composite": "Smith, John"}
+        b = {"person": "Smith, Johm", "composite": "Smith, Johm"}
+        f, _ = _fv(a, b)
+        assert f["title_cosine"] == 0.0
+        assert f["provision_subjects_harmonic"] == 0.0
+        assert f["person_subjects_product"] == 0.0
+        assert f["composite_subjects_ratio"] == 0.0
+
+    def test_interactions(self):
+        a = {"person": "ab", "title": "t x", "subjects": "s q", "composite": "c m"}
+        b = {"person": "ax", "title": "t y", "subjects": "s r", "composite": "c n"}
+        f, _ = _fv(a, b)
+        sp, st, ss, sc = f["person_cosine"], f["title_cosine"], f["subjects_cosine"], f["composite_cosine"]
+        assert f["person_title_harmonic"] == pytest.approx(2 * sp * st / (sp + st))
+        assert f["person_subjects_product"] == pytest.approx(sp * ss)
+        assert f["composite_subjects_ratio"] == pytest.approx(min(sc / ss, 10.0))
+
+    def test_year_mismatch(self):
+        a = {"person": "Smith, John, 1840-1902", "composite": "a"}
+        b = {"person": "Smith, John, 1841-1902", "composite": "b"}
+        f, pref = _fv(a, b)
+        assert f["birth_year_match"] == 0.0
+        assert f["death_year_match"] == 1.0
+        assert f["has_birth_death_years"] == 1.0
+        # names differ by one digit -> P10 requires identical hash: no prefilter
+        assert pref is None
+
+
+class TestClassifier:
+    def _toy(self, n=400, seed=0):
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, 4)
+        w = np.array([2.0, -1.0, 0.5, 0.0])
+        y = (1 / (1 + np.exp(-(X @ w + 0.3))) > 0.5).astype(float)
+        return X, y
+
+    def test_fit_separates(self):
+        X, y = self._toy()
+        m = fit_logistic_regression(X, y)
+        p = m.predict_proba(X)
+        c = confusion(y, (p >= 0.5).astype(int))
+        assert c["accuracy"] > 0.95
+
+    def test_deterministic(self):
+        X, y = self._toy()
+        m1 = fit_logistic_regression(X, y)
+        m2 = fit_logistic_regression(X, y)
+        assert np.allclose(m1.weights, m2.weights)
+
+    def test_balanced_weights_shift_boundary(self):
+        X, y = self._toy()
+        # heavily imbalance: drop most positives
+        keep = np.concatenate([np.where(y == 0)[0], np.where(y == 1)[0][:20]])
+        mb = fit_logistic_regression(X[keep], y[keep], balanced=True)
+        mu = fit_logistic_regression(X[keep], y[keep], balanced=False)
+        # balanced model predicts the minority class more often
+        assert (mb.predict_proba(X) >= 0.5).sum() > (mu.predict_proba(X) >= 0.5).sum()
+
+    def test_stratified_split(self):
+        y = np.array([0] * 70 + [1] * 30).astype(float)
+        tr, te = stratified_split(y, 0.7, 42)
+        assert len(tr) + len(te) == 100
+        assert abs(y[tr].mean() - 0.3) < 0.02
+        assert set(tr).isdisjoint(te)
+
+    def test_zero_variance_feature(self):
+        X, y = self._toy()
+        X[:, 3] = 5.0  # constant
+        m = fit_logistic_regression(X, y)
+        assert np.isfinite(m.weights).all()
+        assert np.isfinite(m.predict_proba(X)).all()

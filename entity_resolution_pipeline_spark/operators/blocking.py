@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
+from .util import ensure_parallelism
 from ..functions.minhash import MinHasher, band_hashes
 from ..functions.years import normalize_name
 
@@ -58,7 +59,7 @@ def name_keys(records: DataFrame) -> DataFrame:
                 keys.append(k)
             yield pd.DataFrame({"url": pdf["url"], "key": keys})
 
-    out = records.select("url", "person").mapInPandas(run, schema=schema)
+    out = ensure_parallelism(records.select("url", "person")).mapInPandas(run, schema=schema)
     return out.where(F.col("key").isNotNull())
 
 
@@ -101,7 +102,7 @@ def lsh_keys(
                 out.append([int(b) - (1 << 63) for b in band_hashes(sig, bands)])
             yield pd.DataFrame({"url": pdf["url"], "bands": out})
 
-    out = records.select("url", "composite").mapInPandas(run, schema=schema)
+    out = ensure_parallelism(records.select("url", "composite")).mapInPandas(run, schema=schema)
     return (
         out.where(F.col("bands").isNotNull())
         .select("url", F.explode("bands").alias("band"))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from .util import ensure_parallelism
 from ..functions.minhash import MinHasher, band_hashes, simhash64
 
 _NORM = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
@@ -108,7 +109,7 @@ def minhash_signatures(
                 bnds.append([int(x) - (1 << 63) for x in band_hashes(s, bands)])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs, "bands": bnds})
 
-    return docs.select("doc_id", text_col).mapInPandas(run, schema=_SIG_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_SIG_SCHEMA)
 
 
 def minhash_lsh_pairs(
@@ -166,7 +167,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
                 }
             )
 
-    sh = docs.select("doc_id", text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
+    sh = ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_SIMHASH_SCHEMA)
     sh.persist()
     # 4 bands of 16 bits: any pair with hamming<=3 shares at least one band
     banded = sh.select(

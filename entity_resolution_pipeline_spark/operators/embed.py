@@ -21,6 +21,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .util import ensure_parallelism
 from pyspark.sql.types import ArrayType, FloatType, StringType, StructField, StructType
 
 DEFAULT_DIM = 64
@@ -62,4 +64,4 @@ def embed_unique_strings(unique_strings: DataFrame, dim: int = DEFAULT_DIM) -> D
                 }
             )
 
-    return unique_strings.select("hash", "value").mapInPandas(run, schema=EMB_SCHEMA)
+    return ensure_parallelism(unique_strings.select("hash", "value")).mapInPandas(run, schema=EMB_SCHEMA)

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
+from .util import ensure_parallelism
 from ..functions.hashing import hash_string
 from ..functions.text import normalize_text
 
@@ -97,7 +98,7 @@ def _derive_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def preprocess_records(web_pages: DataFrame) -> DataFrame:
     """web_pages -> records (one Arrow pass; html column pruned away)."""
-    src = web_pages.select("url", "warc_ts", "lang", "text")
+    src = ensure_parallelism(web_pages.select("url", "warc_ts", "lang", "text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

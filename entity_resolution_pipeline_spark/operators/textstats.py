@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from .util import ensure_parallelism
 from ..functions.text import STOPWORDS, fingerprint, tokenize_bpeish
 
 _NORM = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
@@ -98,7 +99,7 @@ def token_counts_bpeish(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, schema=_BPE_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_BPE_SCHEMA)
 
 
 _FP_SCHEMA = StructType(
@@ -121,4 +122,4 @@ def fingerprints(docs: DataFrame, text_col: str = "text", window: int = 8) -> Da
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, schema=_FP_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_FP_SCHEMA)

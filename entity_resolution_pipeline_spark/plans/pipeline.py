@@ -138,7 +138,10 @@ class ERPipeline:
         if model is None:
             raise ValueError("no labeled pairs given and no saved model found")
 
-        pair_fields = P.with_pair_key(P.attach_pair_fields(pairs, records))
+        # pair_fields feeds both the distinct-tuple scoring and the join-back:
+        # persist so the two consumers share one computation (on a cluster
+        # this is a materialized intermediate table / exchange reuse).
+        pair_fields = P.with_pair_key(P.attach_pair_fields(pairs, records)).persist()
 
         def build_scores():
             # score distinct field-hash tuples, then hash-join back: string
@@ -152,6 +155,7 @@ class ERPipeline:
         t_score0 = time.time()
         scored = self._run_stage("score", keys_fp + "|score", int(n_pairs), build_scores, "scored_pairs", force)
         self.metrics["score_wall_s"] = time.time() - t_score0
+        pair_fields.unpersist()
         self.metrics["pairs_scored_per_sec"] = (
             n_pairs / self.metrics["score_wall_s"] if self.metrics["score_wall_s"] > 0 else None
         )

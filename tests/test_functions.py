@@ -199,3 +199,33 @@ class TestTextStats:
         assert fingerprint("a b c d e f g h i j") == fingerprint("a  b   c d e f g h i j")
         assert fingerprint("") == 0
         assert fingerprint("xyz") != fingerprint("abc")
+
+
+class TestBitParallelKernels:
+    """Bit-parallel Myers/Allison-Dix must equal the DP references."""
+
+    def test_property_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        from entity_resolution_pipeline_spark.functions.similarity import (
+            _lcs_len,
+            _lcs_len_dp,
+            levenshtein_distance_dp,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet="abcde ,", max_size=40),
+               st.text(alphabet="abcde ,", max_size=40))
+        def check(s1, s2):
+            assert levenshtein_distance(s1, s2) == levenshtein_distance_dp(s1, s2)
+            assert _lcs_len(s1, s2) == _lcs_len_dp(s1, s2)
+
+        check()
+
+    def test_unicode(self):
+        from entity_resolution_pipeline_spark.functions.similarity import (
+            levenshtein_distance_dp,
+        )
+
+        assert levenshtein_distance("héllo", "hello") == levenshtein_distance_dp("héllo", "hello")
+        assert levenshtein_distance("ß", "ss") == 2

@@ -151,12 +151,14 @@ def score_job(spark, pairs_dir, model_dict):
     return n_pairs, wall
 
 
-def score_tuples_job(spark, tuples_dir, model_dict):
-    """Time ONLY the scoring Arrow pass over pre-deduped tuples (the
-    scaling-measurement kernel)."""
+def score_tuples_job(spark, dt, model_dict):
+    """Time ONLY the scoring Arrow pass over pre-deduped cached tuples (the
+    scaling-measurement kernel). ``dt`` must already be partitioned and
+    persisted by the caller — small parquet files otherwise coalesce into
+    1-2 scan tasks (maxPartitionBytes), silently serializing the kernel at
+    every core count."""
     from entity_resolution_pipeline_spark.operators import pairs as P  # noqa: N812
 
-    dt = spark.read.parquet(tuples_dir)
     n = dt.count()
     t0 = time.time()
     _noop(P.score(dt, model_dict))
@@ -174,13 +176,16 @@ def scale_worker(cores, tuples_dir, model_path):
     spark.sparkContext.setLogLevel("ERROR")
     with open(model_path) as f:
         model_dict = json.load(f)
+    # fixed 64-way partitioning at every core count (task granularity must
+    # not depend on cores), cached so repeats measure only the kernel
+    dt = spark.read.parquet(tuples_dir).repartition(64).persist()
     # full warm-up pass (cold python workers otherwise dominate), then
     # min-of-3 (robust to co-tenant CPU-steal bursts in this sandbox).
-    score_tuples_job(spark, tuples_dir, model_dict)
+    score_tuples_job(spark, dt, model_dict)
     walls = []
     n = 0
     for _ in range(3):
-        n, wall = score_tuples_job(spark, tuples_dir, model_dict)
+        n, wall = score_tuples_job(spark, dt, model_dict)
         walls.append(wall)
     print(json.dumps({"cores": int(cores), "tuples": int(n),
                       "wall_s": min(walls), "walls": [round(w, 2) for w in walls]}))

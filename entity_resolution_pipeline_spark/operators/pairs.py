@@ -82,9 +82,14 @@ _HARMONIC_PAIRS = [
     ("provision", "subjects"),
 ]
 
-PAIR_SIDE_COLS = [f + "1" for f in FIELDS] + [f + "2" for f in FIELDS] + [
-    f + "_h1" for f in FIELDS
-] + [f + "_h2" for f in FIELDS]
+# Columns shipped through Arrow to the scoring kernel: both sides' strings
+# plus JVM-precomputed equality flags. Hash columns stay JVM-side (they are
+# 39-char decimal strings; shipping them halved Arrow-pipe throughput).
+PAIR_SIDE_COLS = (
+    [f + "1" for f in FIELDS]
+    + [f + "2" for f in FIELDS]
+    + [f + "_eq" for f in FIELDS]
+)
 
 
 class _BatchMemo:
@@ -129,17 +134,16 @@ def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str 
     idx = {n: i for i, n in enumerate(FEATURE_NAMES)}
 
     p1, p2 = row["person1"], row["person2"]
-    ph1, ph2 = row["person_h1"], row["person_h2"]
     c1, c2 = row["composite1"], row["composite2"]
-    ch1, ch2 = row["composite_h1"], row["composite_h2"]
 
     # --- prefilters (ordered exactly as the reference) ---
+    # equality flags are hash equality (case/ws-insensitive) computed JVM-side
     prefilter = None
-    if ph1 is not None and ph2 is not None and ph1 == ph2 and p1 is not None:
+    if row["person_eq"] and p1 is not None:
         b, d = memo.get_years(p1)
         if b is not None or d is not None:
             prefilter = "true"
-    if prefilter is None and ch1 is not None and ch2 is not None and c1 == c2:
+    if prefilter is None and c1 is not None and c2 is not None and c1 == c2:
         prefilter = "true"
     if prefilter is None and p1 is not None and p2 is not None:
         max_len = max(len(p1), len(p2))
@@ -164,10 +168,9 @@ def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str 
     sims: dict[str, float] = {}
     for f in ["person", "title", "provision", "subjects", "composite"]:
         s1, s2 = row[f + "1"], row[f + "2"]
-        h1, h2 = row[f + "_h1"], row[f + "_h2"]
         if s1 is None or s2 is None:
             continue
-        if h1 is not None and h1 == h2:
+        if row[f + "_eq"]:
             sim = 1.0
         elif f == "person":
             sim = memo.get_lev(s1, s2)
@@ -219,17 +222,27 @@ SCORE_SCHEMA = StructType(
 
 
 def with_pair_key(df: DataFrame) -> DataFrame:
-    """Single join key over the 10-field-hash tuple."""
-    return df.withColumn(
+    """Single join key over the 10-field-hash tuple + JVM equality flags.
+
+    The eq flags keep the 39-char decimal hash strings out of the Arrow
+    transfer to the scoring kernel (they exist only for equality tests).
+    """
+    out = df.withColumn(
         "pair_key",
         F.sha1(
             F.concat_ws(
-                "",
+                "",
                 *[F.coalesce(F.col(f + "_h1"), F.lit("NULL")) for f in FIELDS],
                 *[F.coalesce(F.col(f + "_h2"), F.lit("NULL")) for f in FIELDS],
             )
         ),
     )
+    for f in FIELDS:
+        out = out.withColumn(
+            f + "_eq",
+            F.coalesce(F.col(f + "_h1") == F.col(f + "_h2"), F.lit(False)),
+        )
+    return out
 
 
 def featurize(df: DataFrame) -> DataFrame:

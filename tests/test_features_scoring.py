@@ -27,8 +27,9 @@ def _row(side1: dict, side2: dict) -> dict:
     for f in FIELDS:
         v1, v2 = side1.get(f), side2.get(f)
         row[f + "1"], row[f + "2"] = v1, v2
-        row[f + "_h1"] = hash_string(v1) if v1 is not None else None
-        row[f + "_h2"] = hash_string(v2) if v2 is not None else None
+        h1 = hash_string(v1) if v1 is not None else None
+        h2 = hash_string(v2) if v2 is not None else None
+        row[f + "_eq"] = h1 is not None and h1 == h2
     return row
 
 

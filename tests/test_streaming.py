@@ -19,10 +19,15 @@ def test_availablenow_catchup_matches_batch(spark, tmp_warehouse):
 
     run_catchup(spark, src, out, ckpt)
     got = spark.read.parquet(out)
-    expect = windowed_counts(events)
 
-    # append-mode with availableNow flushes every window at termination;
-    # compare as sets of rows
+    # append mode emits a window only once the watermark passes its end:
+    # windows within <watermark> of max(ts) stay in state (correct
+    # late-data semantics) — compare against the batch agg restricted to
+    # watermark-closed windows
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    expect = windowed_counts(events).where(
+        F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    )
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expect.collect()}
     assert g == e

@@ -156,6 +156,27 @@ def q_a10_cluster_stats(spark, sf_dir):
 # windows / top-k / sorts
 # --------------------------------------------------------------------------
 
+def q_a11_feature_stats(spark, sf_dir):
+    """A11 feature diagnostics: per-column min/max/mean/std over numeric
+    features (describe-style, exact aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        rows.append(
+            li.agg(
+                F.lit(c).alias("feature"),
+                F.round(F.min(c), 6).alias("min_v"),
+                F.round(F.max(c), 6).alias("max_v"),
+                F.round(F.avg(c), 6).alias("mean_v"),
+                F.round(F.stddev_pop(c), 6).alias("std_v"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_w1_topk_per_group(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -466,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_null_heuristic": q_a6_null_heuristic,
         "a9_confusion": q_a9_confusion,
         "a10_cluster_stats": q_a10_cluster_stats,
+        "a11_feature_stats": q_a11_feature_stats,
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_mode_value": q_w2_mode_value,
         "w3_largest_groups": q_w3_largest_groups,
@@ -565,6 +587,24 @@ def oracle_sql() -> dict[str, str]:
                    median(size) AS median_size,
                    round(stddev_pop(size), 6) AS std_size
             FROM sizes
+        """,
+        "a11_feature_stats": """
+            SELECT feature,
+                   round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
+                   round(mean_v, 6) AS mean_v, round(std_v, 6) AS std_v
+            FROM (
+              SELECT 'l_quantity' AS feature, min(l_quantity) AS min_v,
+                     max(l_quantity) AS max_v, avg(l_quantity) AS mean_v,
+                     stddev_pop(l_quantity) AS std_v FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
+                     avg(l_extendedprice), stddev_pop(l_extendedprice) FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', min(l_discount), max(l_discount),
+                     avg(l_discount), stddev_pop(l_discount) FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', min(l_tax), max(l_tax),
+                     avg(l_tax), stddev_pop(l_tax) FROM lineitem)
         """,
         "w1_topk_per_group": """
             SELECT o_custkey, o_orderkey, rnk FROM (

@@ -151,3 +151,41 @@ def confusion(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
         "tp": tp, "fp": fp, "tn": tn, "fn": fn,
         "precision": precision, "recall": recall, "f1": f1, "accuracy": accuracy,
     }
+
+
+def feature_importance(model: LRModel) -> list[tuple[str, float]]:
+    """W5/M7: |weight| normalized, ranked desc (classification.py:709-757)."""
+    import numpy as np
+
+    w = np.abs(model.weights)
+    total = w.sum() or 1.0
+    names = model.feature_names or [f"f{i}" for i in range(len(w))]
+    ranked = sorted(zip(names, (w / total).tolist()), key=lambda t: -t[1])
+    return ranked
+
+
+def roc_auc(y_true, scores) -> float:
+    """M6: exact ROC-AUC via the rank-sum (Mann-Whitney) formulation."""
+    import numpy as np
+
+    y = np.asarray(y_true).astype(int)
+    s = np.asarray(scores, dtype=np.float64)
+    n_pos = int((y == 1).sum())
+    n_neg = int((y == 0).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), dtype=np.float64)
+    ranks[order] = np.arange(1, len(s) + 1)
+    # average ranks for ties
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    rank_sum_pos = ranks[y == 1].sum()
+    return float((rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))

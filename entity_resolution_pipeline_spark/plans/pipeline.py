@@ -28,7 +28,14 @@ from pyspark.sql import functions as F  # noqa: N812
 from ..operators import blocking as B  # noqa: N812
 from ..operators import cluster as C  # noqa: N812
 from ..operators import pairs as P  # noqa: N812
-from ..operators.classify import LRModel, confusion, fit_logistic_regression, stratified_split
+from ..operators.classify import (
+    LRModel,
+    confusion,
+    feature_importance,
+    fit_logistic_regression,
+    roc_auc,
+    stratified_split,
+)
 from ..operators.preprocess import (
     field_hash_mapping,
     field_stats,
@@ -214,6 +221,8 @@ class ERPipeline:
         pred = (p >= self.config.decision_threshold).astype(int)
         self.metrics["train"] = confusion(y[tr], pred[tr])
         self.metrics["test"] = confusion(y[te], pred[te])
+        self.metrics["test"]["roc_auc"] = roc_auc(y[te], p[te])
+        self.metrics["feature_importance"] = feature_importance(model)[:10]
 
         self._save_model(model)
         return model

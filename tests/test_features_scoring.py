@@ -149,3 +149,34 @@ class TestClassifier:
         m = fit_logistic_regression(X, y)
         assert np.isfinite(m.weights).all()
         assert np.isfinite(m.predict_proba(X)).all()
+
+
+class TestClassifierExtras:
+    def test_feature_importance_ranked(self):
+        from entity_resolution_pipeline_spark.operators.classify import (
+            LRModel,
+            feature_importance,
+        )
+
+        m = LRModel(
+            weights=np.array([0.1, -2.0, 0.5]),
+            intercept=0.0,
+            means=np.zeros(3),
+            stds=np.ones(3),
+            feature_names=["a", "b", "c"],
+        )
+        ranked = feature_importance(m)
+        assert [n for n, _ in ranked] == ["b", "c", "a"]
+        assert abs(sum(v for _, v in ranked) - 1.0) < 1e-9
+
+    def test_roc_auc(self):
+        from entity_resolution_pipeline_spark.operators.classify import roc_auc
+
+        # perfect separation
+        assert roc_auc([0, 0, 1, 1], [0.1, 0.2, 0.8, 0.9]) == 1.0
+        # random-ish / anti-correlated
+        assert roc_auc([1, 1, 0, 0], [0.1, 0.2, 0.8, 0.9]) == 0.0
+        # ties handled with average ranks
+        assert roc_auc([0, 1], [0.5, 0.5]) == 0.5
+        # degenerate
+        assert roc_auc([1, 1], [0.2, 0.9]) == 0.5

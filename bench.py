@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "cc_components",
 ]
 
-N_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "6000"))
+N_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "4000"))
 
 
 def _noop(df):
@@ -128,7 +128,7 @@ def train_model(spark, n_entities, records=None):
 
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     pipe = ERPipeline(spark, wh)
-    n_lab = min(600, n_entities)
+    n_lab = min(400, n_entities)
     recs = records if records is not None else preprocess_records(web_pages_df(spark, n_lab))
     lp = spark.createDataFrame(labeled_pairs_pdf(n_lab, 1500))
     model = pipe.train(recs, lp)
@@ -180,7 +180,7 @@ def scale_worker(cores, tuples_dir, model_path):
     # not depend on cores), cached so repeats measure only the kernel
     dt = spark.read.parquet(tuples_dir).repartition(64).persist()
     # full warm-up pass (cold python workers otherwise dominate), then
-    # min-of-3 (robust to co-tenant CPU-steal bursts in this sandbox).
+    # min-of-3 (co-tenant CPU-steal bursts can blanket a whole level).
     score_tuples_job(spark, dt, model_dict)
     walls = []
     n = 0

@@ -92,6 +92,13 @@ def fit_logistic_regression(
     """IRLS/Newton fit on z-scored features. X raw; scaling handled inside."""
     X = np.asarray(X, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    if len(np.unique(y)) < 2:
+        # M3 guard (classification.py:415-471): a single-class training set
+        # cannot fit a boundary — fail loudly instead of returning garbage
+        raise ValueError(
+            "training labels contain a single class; the reference's synthetic"
+            " balancing fallback is out of scope — supply both classes"
+        )
     means, stds = zscore_stats(X)
     Xn = np.nan_to_num((X - means) / stds, nan=0.0, posinf=1e10, neginf=-1e10)
 

@@ -187,3 +187,19 @@ class Manifest:
             .count()
         )
         return n > 0
+
+
+def table_diff(df_new, df_old, key_cols: list[str]) -> dict:
+    """SO2: added/missing keys between two table versions
+    (/root/reference/src/batch_preprocessing.py:612-613 semantics) — two
+    left-anti joins, returned as counts + capped samples."""
+    new_keys = df_new.select(*key_cols)
+    old_keys = df_old.select(*key_cols)
+    added = new_keys.join(old_keys, key_cols, "left_anti")
+    missing = old_keys.join(new_keys, key_cols, "left_anti")
+    return {
+        "added": int(added.count()),
+        "missing": int(missing.count()),
+        "added_sample": [tuple(r) for r in added.limit(10).collect()],
+        "missing_sample": [tuple(r) for r in missing.limit(10).collect()],
+    }

@@ -180,3 +180,9 @@ class TestClassifierExtras:
         assert roc_auc([0, 1], [0.5, 0.5]) == 0.5
         # degenerate
         assert roc_auc([1, 1], [0.2, 0.9]) == 0.5
+
+    def test_single_class_raises(self):
+        X = np.random.RandomState(0).randn(20, 3)
+        y = np.ones(20)
+        with pytest.raises(ValueError, match="single class"):
+            fit_logistic_regression(X, y)

@@ -95,3 +95,25 @@ def test_oversized_blocks_logged(pipeline_run):
     # host|token key it may or may not exceed the cap, but the metrics key
     # must exist (no silent truncation path)
     assert "oversized_blocks" in result["metrics"]
+
+
+def test_csv_export(pipeline_run, tmp_path_factory):
+    """S7: cluster CSV export (clustering.py:1102-1136 analogue)."""
+    pipe, result, *_ = pipeline_run
+    out = str(tmp_path_factory.mktemp("csv_export"))
+    pipe.export_clusters_csv(out)
+    spark = pipe.spark
+    back = spark.read.option("header", True).csv(out)
+    assert back.columns == ["cluster_id", "entity_id"]
+    assert back.count() == result["n_pages"]
+
+
+def test_table_diff(pipeline_run, spark):
+    from entity_resolution_pipeline_spark.sources.catalog import table_diff
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    d = table_diff(a, b, ["k"])
+    assert d["added"] == 1 and d["missing"] == 1
+    assert d["added_sample"] == [(1,)]
+    assert d["missing_sample"] == [(4,)]

@@ -117,11 +117,22 @@ def block_sizes(keys: DataFrame) -> DataFrame:
 def candidate_pairs(
     keys: DataFrame,
     max_block_size: int = DEFAULT_MAX_BLOCK,
+    oversized_strategy: str = "window_cap",
+    neighbor_cap: int = 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-equi-join within blocks -> canonical distinct (url1 < url2).
 
-    Returns (pairs, oversized_blocks); oversized blocks are skipped and must
-    be logged by the caller (no silent truncation).
+    Skew handling (north_rule): blocks larger than ``max_block_size`` would
+    contribute O(B^2) pairs. Strategy:
+
+    - ``window_cap``: the hot block's rows are sorted (deterministic) and each
+      row pairs only with its next ``neighbor_cap`` neighbors — O(B*K) pairs,
+      the DataFrame analogue of the reference's top-K ANN fanout cap
+      (/root/reference/src/batch_querying.py:651, top-200 per record).
+    - ``drop``: exclude the block entirely.
+
+    Either way, oversized blocks are *returned* for manifest logging — no
+    silent truncation.
     """
     sizes = block_sizes(keys)
     oversized = sizes.where(F.col("block_size") > max_block_size)
@@ -133,9 +144,31 @@ def candidate_pairs(
         a.join(b, "key")
         .where(F.col("a.url") < F.col("b.url"))
         .select(F.col("a.url").alias("url1"), F.col("b.url").alias("url2"))
-        .distinct()
     )
-    return pairs, oversized
+
+    if oversized_strategy == "window_cap":
+        from pyspark.sql import Window
+
+        hot = keys.join(F.broadcast(oversized.select("key")), "key", "left_semi")
+        w = Window.partitionBy("key").orderBy("url")
+        ranked = hot.select("key", "url", F.row_number().over(w).alias("rn"))
+        r1 = ranked.alias("r1")
+        r2 = ranked.alias("r2")
+        capped = (
+            r1.join(
+                r2,
+                (F.col("r1.key") == F.col("r2.key"))
+                & (F.col("r2.rn") > F.col("r1.rn"))
+                & (F.col("r2.rn") <= F.col("r1.rn") + neighbor_cap),
+            )
+            .select(
+                F.least(F.col("r1.url"), F.col("r2.url")).alias("url1"),
+                F.greatest(F.col("r1.url"), F.col("r2.url")).alias("url2"),
+            )
+        )
+        pairs = pairs.unionByName(capped)
+
+    return pairs.distinct(), oversized
 
 
 def all_blocking_keys(

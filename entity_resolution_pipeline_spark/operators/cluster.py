@@ -191,3 +191,74 @@ def breakup_oversized(
     re_clustered = assign_clusters(sub_edges, big_nodes)
     keep = clusters.join(big, "cluster_id", "left_anti")
     return keep.unionByName(re_clustered.select("entity_id", "cluster_id"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """G4 alternate (clustering.py:371-535): synchronous min-label
+    propagation. Converges in O(diameter) rounds (use connected_components
+    for production; kept for algorithm parity). Returns (node, component).
+    """
+    sym = _canonical(edges)
+    sym = sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "component")
+            .unionByName(labels)
+        )
+        new_labels = msgs.groupBy("node").agg(F.min("component").alias("component"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_conflicts(memberships: DataFrame, edges: DataFrame) -> DataFrame:
+    """G6 (clustering.py:587-661): an entity appearing in multiple clusters
+    keeps the one with the max mean edge weight to that cluster's members
+    (ties -> smaller cluster_id). No-op for CC output (disjoint by
+    construction); needed for overlapping community detectors.
+
+    memberships: (entity_id, cluster_id); edges: (src, dst, weight).
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select("src", "dst", "weight").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    m2 = memberships.select(
+        F.col("entity_id").alias("dst"), F.col("cluster_id").alias("cid")
+    )
+    # mean weight from each entity to members of each of its candidate clusters
+    affinity = (
+        sym.join(m2, "dst")
+        .groupBy(F.col("src").alias("entity_id"), F.col("cid").alias("cluster_id"))
+        .agg(F.avg("weight").alias("mean_w"))
+    )
+    scored = memberships.join(affinity, ["entity_id", "cluster_id"], "left").fillna(
+        {"mean_w": 0.0}
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.desc("mean_w"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("entity_id", "cluster_id")
+    )

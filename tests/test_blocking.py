@@ -1,0 +1,110 @@
+"""Blocking-stage tests: key families, null dropping, skew strategies."""
+
+import pyspark.sql.functions as F
+
+from entity_resolution_pipeline_spark.operators.blocking import (
+    all_blocking_keys,
+    block_sizes,
+    candidate_pairs,
+    host_keys,
+    lsh_keys,
+    name_keys,
+)
+from entity_resolution_pipeline_spark.operators.preprocess import preprocess_records
+from entity_resolution_pipeline_spark.sources.webpages import web_pages_df
+
+
+def _keys_df(spark, rows):
+    return spark.createDataFrame(rows, "url string, key string")
+
+
+def test_name_keys_strip_years_and_nulls(spark):
+    wp = spark.createDataFrame(
+        [
+            ("u1", "Name: Smith, John, 1840-1902; Title: t;"),
+            ("u2", "Name: Smith,   JOHN; Title: t;"),
+            ("u3", "Title: nameless;"),
+        ],
+        "url string, text string",
+    ).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text", F.lit("en").alias("lang"),
+    )
+    rec = preprocess_records(wp)
+    keys = {r["url"]: r["key"] for r in name_keys(rec).collect()}
+    # year-stripped + lowercased: u1 and u2 share the name key
+    assert keys["u1"] == keys["u2"] == "name|smith, john"
+    assert "u3" not in keys  # null person dropped
+
+
+def test_host_keys(spark):
+    wp = spark.createDataFrame(
+        [("https://ex.org/a", "Name: Smith, John; Title: t;")],
+        "url string, text string",
+    ).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text", F.lit("en").alias("lang"),
+    )
+    rec = preprocess_records(wp)
+    keys = [r["key"] for r in host_keys(rec).collect()]
+    assert keys == ["host|ex.org|smith"]
+
+
+def test_lsh_keys_same_composite_same_bands(spark):
+    wp = spark.createDataFrame(
+        [
+            ("u1", "Name: Smith, John; Title: one two three four five six;"),
+            ("u2", "Name: Smith, John; Title: one two three four five six;"),
+        ],
+        "url string, text string",
+    ).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text", F.lit("en").alias("lang"),
+    )
+    rec = preprocess_records(wp)
+    rows = lsh_keys(rec, num_perm=32, bands=8).collect()
+    k1 = {r["key"] for r in rows if r["url"] == "u1"}
+    k2 = {r["key"] for r in rows if r["url"] == "u2"}
+    assert k1 == k2 and len(k1) == 8
+
+
+def test_candidate_pairs_drop_strategy(spark):
+    rows = [(f"u{i}", "hot") for i in range(10)] + [("a", "cold"), ("b", "cold")]
+    keys = _keys_df(spark, rows)
+    pairs, oversized = candidate_pairs(keys, max_block_size=5, oversized_strategy="drop")
+    got = {(r["url1"], r["url2"]) for r in pairs.collect()}
+    assert got == {("a", "b")}
+    over = oversized.collect()
+    assert len(over) == 1 and over[0]["key"] == "hot" and over[0]["block_size"] == 10
+
+
+def test_candidate_pairs_window_cap(spark):
+    rows = [(f"u{i:02d}", "hot") for i in range(10)] + [("a", "cold"), ("b", "cold")]
+    keys = _keys_df(spark, rows)
+    pairs, oversized = candidate_pairs(
+        keys, max_block_size=5, oversized_strategy="window_cap", neighbor_cap=2
+    )
+    got = {(r["url1"], r["url2"]) for r in pairs.collect()}
+    assert ("a", "b") in got
+    # each hot row pairs with its next <=2 sorted neighbors: bounded O(B*K)
+    hot_pairs = {p for p in got if p != ("a", "b")}
+    assert ("u00", "u01") in hot_pairs and ("u00", "u02") in hot_pairs
+    assert ("u00", "u03") not in hot_pairs
+    assert len(hot_pairs) == 2 * 10 - 3  # B*K - K*(K+1)/2 = 20 - 3
+    assert oversized.count() == 1
+
+
+def test_dedup_orientation(spark):
+    keys = _keys_df(spark, [("b", "k"), ("a", "k"), ("a", "k2"), ("b", "k2")])
+    pairs, _ = candidate_pairs(keys, max_block_size=10)
+    got = [(r["url1"], r["url2"]) for r in pairs.collect()]
+    assert got == [("a", "b")]  # two shared keys -> one canonical distinct pair
+
+
+def test_block_sizes_and_key_union(spark):
+    wp = web_pages_df(spark, 30)
+    rec = preprocess_records(wp)
+    keys = all_blocking_keys(rec, num_perm=16, bands=4)
+    fams = {r["fam"] for r in keys.select(F.split("key", r"\|")[0].alias("fam")).distinct().collect()}
+    assert fams == {"name", "host", "lsh"}
+    assert block_sizes(keys).where(F.col("block_size") < 1).count() == 0

@@ -85,3 +85,53 @@ def test_cc_partitioning_invariance(spark):
     m1 = {r["node"]: r["component"] for r in connected_components(df1).collect()}
     m8 = {r["node"]: r["component"] for r in connected_components(df8).collect()}
     assert m1 == m8
+
+
+def test_label_propagation_matches_cc(spark):
+    from entity_resolution_pipeline_spark.operators.cluster import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lp = {r["node"]: r["component"] for r in label_propagation(df).collect()}
+    cc = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert lp == cc
+
+
+def test_resolve_conflicts(spark):
+    from entity_resolution_pipeline_spark.operators.cluster import resolve_conflicts
+
+    # entity "e" claimed by clusters 1 and 2; stronger ties to cluster 2
+    memberships = spark.createDataFrame(
+        [("e", "c1"), ("e", "c2"), ("m1", "c1"), ("m2", "c2"), ("m3", "c2")],
+        "entity_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [("e", "m1", 0.6), ("e", "m2", 0.9), ("e", "m3", 0.95)],
+        "src string, dst string, weight double",
+    )
+    out = {r["entity_id"]: r["cluster_id"] for r in resolve_conflicts(memberships, edges).collect()}
+    assert out["e"] == "c2"
+    assert out["m1"] == "c1"
+    assert len(out) == 4  # one row per entity
+
+
+def test_breakup_oversized(spark):
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        assign_clusters,
+        breakup_oversized,
+    )
+
+    # two weakly-bridged tight groups
+    edges = spark.createDataFrame(
+        [("a1", "a2", 0.95), ("a2", "a3", 0.96), ("b1", "b2", 0.97),
+         ("b2", "b3", 0.98), ("a3", "b1", 0.55)],
+        "src string, dst string, weight double",
+    )
+    nodes = spark.createDataFrame([(n,) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]], "node string")
+    clusters = assign_clusters(edges.select("src", "dst"), nodes)
+    assert clusters.select("cluster_id").distinct().count() == 1
+    rebroken = breakup_oversized(edges, clusters, max_cluster_size=4, weight_floor=0.9)
+    m = {r["entity_id"]: r["cluster_id"] for r in rebroken.collect()}
+    assert m["a1"] == m["a2"] == m["a3"]
+    assert m["b1"] == m["b2"] == m["b3"]
+    assert m["a1"] != m["b1"]

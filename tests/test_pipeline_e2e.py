@@ -105,7 +105,10 @@ def test_csv_export(pipeline_run, tmp_path_factory):
     spark = pipe.spark
     back = spark.read.option("header", True).csv(out)
     assert back.columns == ["cluster_id", "entity_id"]
-    assert back.count() == result["n_pages"]
+    # compare against the current clusters table (an earlier resume test may
+    # have rerun the pipeline with a different corpus in this warehouse)
+    assert back.count() == pipe.catalog.read("clusters").count()
+    assert back.where("entity_id IS NULL OR cluster_id IS NULL").count() == 0
 
 
 def test_table_diff(pipeline_run, spark):

@@ -35,8 +35,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from .plans.pipeline import ERConfig, ERPipeline
-    from .sources.webpages import labeled_pairs_pdf, web_pages_df
+    # absolute imports: spark-submit executes this file as a top-level
+    # script, with the package shipped via --py-files
+    from entity_resolution_pipeline_spark.plans.pipeline import ERConfig, ERPipeline
+    from entity_resolution_pipeline_spark.sources.webpages import (
+        labeled_pairs_pdf,
+        web_pages_df,
+    )
 
     spark = SparkSession.builder.appName("er-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

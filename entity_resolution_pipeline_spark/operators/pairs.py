@@ -43,9 +43,9 @@ from pyspark.sql.types import (
 
 from ..functions.similarity import (
     harmonic_mean,
+    indel_ratio,
     levenshtein_sim,
     ratio_capped,
-    token_sort_ratio,
 )
 from ..functions.years import extract_birth_death_years
 from .classify import LRModel
@@ -99,6 +99,7 @@ class _BatchMemo:
         self.years: dict[str, tuple] = {}
         self.lev: dict[tuple, float] = {}
         self.tsr: dict[tuple, float] = {}
+        self.sorted_form: dict[str, str] = {}
 
     def get_years(self, s: str):
         y = self.years.get(s)
@@ -115,11 +116,21 @@ class _BatchMemo:
             self.lev[k] = v
         return v
 
+    def _sorted(self, s: str) -> str:
+        t = self.sorted_form.get(s)
+        if t is None:
+            t = " ".join(sorted(s.split()))
+            self.sorted_form[s] = t
+        return t
+
     def get_tsr(self, s1: str, s2: str) -> float:
         k = (s1, s2) if s1 <= s2 else (s2, s1)
         v = self.tsr.get(k)
         if v is None:
-            v = token_sort_ratio(s1, s2)
+            # token_sort_ratio = indel ratio of the token-sorted forms;
+            # the sorted form is memoized per string (strings repeat across
+            # pairs far more than pairs repeat)
+            v = indel_ratio(self._sorted(s1), self._sorted(s2))
             self.tsr[k] = v
         return v
 

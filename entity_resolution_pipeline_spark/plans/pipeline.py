@@ -290,6 +290,33 @@ class ERPipeline:
         self.metrics["evaluation"] = out
         return out
 
+    def impute(self, fields=("provision", "subjects"), method: str = "average",
+               sim_threshold: float = 0.30, max_donors: int = 10) -> dict:
+        """§2.10 vector hot-deck imputation over the preprocessed records.
+
+        Stores imputed values in ``imputed_<field>`` tables; like the
+        reference (imputation.py:335-431 + SURVEY §2.10), the scoring path
+        keeps reading original hashes — imputation is an enrichment output.
+        """
+        from ..operators.embed import embed_unique_strings
+        from ..operators.impute import impute_field
+
+        records = self.catalog.read("records")
+        us = self.catalog.read("unique_strings")
+        emb = embed_unique_strings(us)
+        emb.persist()
+        counts = {}
+        for field_name in fields:
+            out = impute_field(
+                records, emb, field_name,
+                sim_threshold=sim_threshold, max_donors=max_donors, method=method,
+            )
+            self.catalog.write(out, f"imputed_{field_name}")
+            counts[field_name] = int(self.catalog.read(f"imputed_{field_name}").count())
+        emb.unpersist()
+        self.metrics["imputed"] = counts
+        return counts
+
     def export_clusters_csv(self, path: str) -> None:
         """S7: CSV export (cluster_id, entity_id) mirroring clustering.py:1102-1136."""
         self.catalog.read("clusters").select("cluster_id", "entity_id").write.mode(

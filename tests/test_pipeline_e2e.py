@@ -120,3 +120,14 @@ def test_table_diff(pipeline_run, spark):
     assert d["added"] == 1 and d["missing"] == 1
     assert d["added_sample"] == [(1,)]
     assert d["missing_sample"] == [(4,)]
+
+
+def test_impute_enrichment(pipeline_run):
+    """§2.10: imputation over the warehouse records fills missing fields."""
+    pipe, *_ = pipeline_run
+    counts = pipe.impute(fields=("provision",), sim_threshold=0.2)
+    assert counts["provision"] >= 0
+    if counts["provision"]:
+        imp = pipe.catalog.read("imputed_provision")
+        assert {"url", "imputed_value", "donor_count", "mean_sim"} <= set(imp.columns)
+        assert imp.where("imputed_value IS NULL").count() == 0

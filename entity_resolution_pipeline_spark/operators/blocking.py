@@ -138,10 +138,14 @@ def candidate_pairs(
     oversized = sizes.where(F.col("block_size") > max_block_size)
     ok_keys = keys.join(F.broadcast(oversized.select("key")), "key", "left_anti")
 
-    a = ok_keys.alias("a")
-    b = ok_keys.alias("b")
+    # self-join on the 8-byte hash of the (long string) key: much smaller
+    # shuffle and faster comparisons. A 64-bit collision would only merge two
+    # blocks — extra candidates get scored, none are lost.
+    hk = ok_keys.select("url", F.xxhash64("key").alias("kh"))
+    a = hk.alias("a")
+    b = hk.alias("b")
     pairs = (
-        a.join(b, "key")
+        a.join(b, "kh")
         .where(F.col("a.url") < F.col("b.url"))
         .select(F.col("a.url").alias("url1"), F.col("b.url").alias("url2"))
     )

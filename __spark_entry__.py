@@ -571,10 +571,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
                      CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS pred
               FROM embeddings)
-            SELECT sum(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS tp,
-                   sum(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS fp,
-                   sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS fn,
-                   sum(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS tn
+            SELECT sum(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                   sum(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                   sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+                   sum(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END)::BIGINT AS tn
             FROM e
         """,
         "a10_cluster_stats": """

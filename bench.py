@@ -12,23 +12,31 @@ Phases:
 2. ER pipeline bench on the synthetic web-pages corpus: preprocess ->
    blocking -> pairs once, then time the scoring stage; headline value =
    candidate-pairs-scored/sec.
-3. scaling evidence (north_rule): the same scoring job at local[8] vs
-   local[32] in fresh subprocesses (separate JVMs) over the same materialized
-   pair-fields parquet; efficiency = thr_32 / (4 * thr_8).
+3. scaling evidence (north_rule): the same scoring job at N=2 vs 4N=8 cores,
+   efficiency = thr_8 / (4 * thr_2), criterion >= 0.8.
 
-Scaling-measurement design notes (sandbox realities):
-- this box advertises 32 CPUs but a co-tenant consumes ~9 of them, so strong
-  scaling 8->32 is physically capped below the 0.8 criterion regardless of
-  code quality; the N vs 4N evidence therefore uses N=2 -> 4N=8 (both fit in
-  the free capacity), with 8->32 reported as an informational second point.
-- the measured job is the scoring Arrow pass over a pre-materialized
-  distinct-tuples parquet (the throughput metric is pairs-scored/sec, and
-  pre-deduping keeps fixed shuffle costs out of the scaling measurement).
-- each worker does one full warm-up pass (cold python workers dominate
-  otherwise) and reports min-of-3 (robust to co-tenant bursts).
+Scaling-measurement design (sandbox realities; round-2 rework):
+- ``local[N]`` alone does NOT bound CPU use: the JVM (GC, Arrow serde, task
+  threads) and the Python workers together consume well over N cores, which
+  silently *deflates* measured scaling (the "2-core" run was really using
+  ~4). Each worker subprocess therefore pins its whole process tree with
+  ``sched_setaffinity`` to a disjoint set of N CPUs — an honest emulation of
+  an N-core executor — chosen as the most-idle CPUs from two /proc/stat
+  samples (a co-tenant holds ~9 of the 32 advertised CPUs).
+- both workers (2-core and 8-core JVMs, disjoint CPU sets) stay alive with
+  the input cached, and the parent interleaves timed reps (2,8,2,8,...) so
+  co-tenant drift hits both levels equally; median-of-3 per level.
+- the measured job is `passes` scoring Arrow passes over a pre-materialized,
+  pre-partitioned, cached distinct-tuples parquet; `passes` is calibrated
+  from the 2-core warm-up so the 2-core wall is >= ~45 s (small walls are
+  noise-dominated). Identical fixed workload at every core count.
+- per-rep CPU-steal deltas from /proc/stat ride along in the JSON so noise
+  is attributable.
+- 8 -> 32 is reported as an informational second point only (unpinned: the
+  co-tenant makes >23 dedicated CPUs physically unavailable).
 
 Usage: python bench.py            # full run, one JSON line on stdout
-       python bench.py --scale-worker <cores> <tuples_dir> <model_json>
+       python bench.py --scale-worker <cores> <cpu_list> <tuples_dir> <model_json>
 """
 
 from __future__ import annotations
@@ -165,7 +173,43 @@ def score_tuples_job(spark, dt, model_dict):
     return n, time.time() - t0
 
 
-def scale_worker(cores, tuples_dir, model_path):
+def _cpu_idle_fracs(interval: float = 0.6) -> dict[int, float]:
+    """Per-CPU idle fraction from two /proc/stat samples."""
+    def snap():
+        out = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3:4].isdigit():
+                    p = line.split()
+                    vals = [int(x) for x in p[1:]]
+                    idle = vals[3] + vals[4]  # idle + iowait
+                    out[int(p[0][3:])] = (idle, sum(vals))
+        return out
+
+    a = snap()
+    time.sleep(interval)
+    b = snap()
+    return {
+        c: (b[c][0] - a[c][0]) / max(1, b[c][1] - a[c][1])
+        for c in a
+    }
+
+
+def _steal_jiffies() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])  # aggregate steal
+
+
+def scale_worker(cores, cpu_list, tuples_dir, model_path):
+    """Pinned measurement worker. Protocol on stdin/stdout:
+
+    emits ``READY <n_tuples> <warmup_wall>`` after caching + one warm-up
+    pass, then for each ``RUN <passes>`` line runs that many scoring passes
+    and emits ``WALL <seconds>``; exits on ``EXIT``.
+    """
+    cpus = {int(c) for c in cpu_list.split(",")}
+    os.sched_setaffinity(0, cpus)  # inherited by the JVM + python workers
+
     from entity_resolution_pipeline_spark.session import build_spark
 
     spark = build_spark(
@@ -179,22 +223,23 @@ def scale_worker(cores, tuples_dir, model_path):
     # fixed 64-way partitioning at every core count (task granularity must
     # not depend on cores), cached so repeats measure only the kernel
     dt = spark.read.parquet(tuples_dir).repartition(64).persist()
-    # full warm-up pass (cold python workers otherwise dominate), then
-    # min-of-3 (co-tenant CPU-steal bursts can blanket a whole level).
-    score_tuples_job(spark, dt, model_dict)
-    walls = []
-    n = 0
-    for _ in range(3):
-        n, wall = score_tuples_job(spark, dt, model_dict)
-        walls.append(wall)
-    print(json.dumps({"cores": int(cores), "tuples": int(n),
-                      "wall_s": min(walls), "walls": [round(w, 2) for w in walls]}))
+    n, warm = score_tuples_job(spark, dt, model_dict)
+    print(f"READY {int(n)} {warm:.3f}", flush=True)
+    for line in sys.stdin:
+        cmd = line.split()
+        if not cmd or cmd[0] == "EXIT":
+            break
+        passes = int(cmd[1]) if len(cmd) > 1 else 1
+        t0 = time.time()
+        for _ in range(passes):
+            score_tuples_job(spark, dt, model_dict)
+        print(f"WALL {time.time() - t0:.3f}", flush=True)
     spark.stop()
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        scale_worker(sys.argv[2], sys.argv[3], sys.argv[4])
+        scale_worker(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
         return
 
     from entity_resolution_pipeline_spark.session import build_spark
@@ -236,7 +281,7 @@ def main():
     }
     spark.stop()
 
-    # --- scaling: fresh JVMs, N vs 4N cores over pre-deduped tuples ---
+    # --- scaling: pinned disjoint-CPU workers, interleaved reps (north_rule) ---
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         from entity_resolution_pipeline_spark.session import build_spark as _bs
@@ -252,30 +297,102 @@ def main():
             .write.mode("overwrite").parquet(tuples_dir))
         sp2.stop()
 
-        results = {}
-        for cores in (2, 8, 32):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-worker",
-                 str(cores), tuples_dir, model_path],
-                capture_output=True, text=True, timeout=1800,
-                env={**os.environ, "PYTHONPATH": REPO},
-            )
-            line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            results[cores] = json.loads(line)
-            _log(f"scale {cores} cores: {results[cores]}")
+        # pin each level to the most-idle CPUs; the two levels get DISJOINT
+        # sets so an idle-but-alive sibling JVM never contends.
+        idle = _cpu_idle_fracs()
+        ranked = [c for c, _ in sorted(idle.items(), key=lambda kv: -kv[1])]
+        cpus8, cpus2 = ranked[:8], ranked[8:10]
+        _log(f"scale cpu sets: 8-core={sorted(cpus8)} 2-core={sorted(cpus2)} "
+             f"(idle fracs: {[round(idle[c], 2) for c in ranked[:12]]})")
 
-        def thr(c):
-            return results[c]["tuples"] / results[c]["wall_s"]
+        def start(cores, cpus):
+            return subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--scale-worker",
+                 str(cores), ",".join(str(c) for c in cpus), tuples_dir, model_path],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True, bufsize=1,
+                env={**os.environ, "PYTHONPATH": REPO,
+                     "OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1"},
+            )
+
+        def wait_ready(p):
+            for line in p.stdout:
+                if line.startswith("READY"):
+                    _, n, warm = line.split()
+                    return int(n), float(warm)
+            raise RuntimeError("scale worker died before READY")
+
+        def run_rep(p, passes):
+            s0 = _steal_jiffies()
+            p.stdin.write(f"RUN {passes}\n")
+            p.stdin.flush()
+            for line in p.stdout:
+                if line.startswith("WALL"):
+                    return float(line.split()[1]), _steal_jiffies() - s0
+            raise RuntimeError("scale worker died mid-rep")
+
+        def stop(p):
+            try:
+                p.stdin.write("EXIT\n")
+                p.stdin.flush()
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
+
+        w2, w8 = start(2, cpus2), start(8, cpus8)
+        n_tuples, warm2 = wait_ready(w2)
+        _, warm8 = wait_ready(w8)
+        # same fixed workload at both levels, sized so the 2-core wall is
+        # >= ~45 s (short walls are noise-dominated)
+        target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET_S", "45"))
+        passes = max(1, min(8, round(target / max(warm2, 0.5))))
+        _log(f"scale warmups: 2-core {warm2:.1f}s, 8-core {warm8:.1f}s -> passes={passes}")
+
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        walls = {2: [], 8: []}
+        steals = {2: [], 8: []}
+        for r in range(reps):
+            for cores, w in ((2, w2), (8, w8)):
+                wall, st = run_rep(w, passes)
+                walls[cores].append(round(wall, 3))
+                steals[cores].append(st)
+                _log(f"scale rep {r + 1}/{reps} {cores}c: {wall:.2f}s steal_jf={st}")
+        stop(w2)
+        stop(w8)
+
+        # informational 32-core point (unpinned: co-tenant makes >23
+        # dedicated CPUs unavailable; not the criterion pair)
+        w32 = start(32, list(range(os.cpu_count() or 32)))
+        _, warm32 = wait_ready(w32)
+        wall32, _ = run_rep(w32, passes)
+        stop(w32)
+
+        med = {c: sorted(ws)[len(ws) // 2] for c, ws in walls.items()}
+        work = n_tuples * passes
+
+        def thr(wall):
+            return work / wall
 
         scaling = {
-            "tuples": results[8]["tuples"],
-            "walls_s": {str(c): round(results[c]["wall_s"], 3) for c in results},
-            "tuples_per_sec": {str(c): round(thr(c), 1) for c in results},
-            "efficiency_2_to_8": round(thr(8) / (4 * thr(2)), 4),
-            "efficiency_8_to_32": round(thr(32) / (4 * thr(8)), 4),
-            "note": "N=2 vs 4N=8 is the criterion pair: a co-tenant holds ~9 "
-                    "of the 32 advertised CPUs, capping 8->32 strong scaling "
-                    "below 0.8 regardless of code (see BENCH/BASELINE.md)",
+            "tuples": n_tuples,
+            "passes": passes,
+            "walls_s": {"2": walls[2], "8": walls[8], "32": [round(wall32, 3)]},
+            "median_wall_s": {"2": med[2], "8": med[8], "32": round(wall32, 3)},
+            "steal_jiffies": {"2": steals[2], "8": steals[8]},
+            "cpu_sets": {"2": sorted(cpus2), "8": sorted(cpus8)},
+            "tuples_per_sec": {
+                "2": round(thr(med[2]), 1),
+                "8": round(thr(med[8]), 1),
+                "32": round(thr(wall32), 1),
+            },
+            "efficiency_2_to_8": round(thr(med[8]) / (4 * thr(med[2])), 4),
+            "efficiency_8_to_32": round(thr(wall32) / (4 * thr(med[8])), 4),
+            "note": "criterion pair N=2 -> 4N=8: each level's whole process "
+                    "tree (JVM+GC+python workers) is sched_setaffinity-pinned "
+                    "to that many of the most-idle CPUs (disjoint sets), reps "
+                    "interleaved 2,8,2,8,... and median-of-%d per level to "
+                    "cancel co-tenant drift; 8->32 is informational only "
+                    "(unpinned; a co-tenant holds ~9 of 32 CPUs)" % reps,
         }
 
     print(json.dumps({

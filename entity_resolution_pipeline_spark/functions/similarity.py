@@ -122,14 +122,25 @@ def _lcs_len_dp(s1: str, s2: str) -> int:
     return prev[n]
 
 
-def _lcs_len(s1: str, s2: str) -> int:
-    """Allison-Dix bit-parallel LCS length: O(n) bigint steps."""
+def _lcs_len(s1: str, s2: str, mask_cache: dict | None = None) -> int:
+    """Allison-Dix bit-parallel LCS length: O(n) bigint steps.
+
+    ``mask_cache`` (str -> char-mask dict) amortizes the per-pattern mask
+    build across repeated strings — callers that score many pairs sharing
+    strings (the ER scoring kernel) pass a per-partition dict.
+    """
     m, n = len(s1), len(s2)
     if m == 0 or n == 0:
         return 0
     if m > n:  # pattern = shorter string
         s1, s2, m, n = s2, s1, n, m
-    masks = _match_masks(s1)
+    if mask_cache is None:
+        masks = _match_masks(s1)
+    else:
+        masks = mask_cache.get(s1)
+        if masks is None:
+            masks = _match_masks(s1)
+            mask_cache[s1] = masks
     mask = (1 << m) - 1
     row = 0
     for c in s2:
@@ -138,7 +149,7 @@ def _lcs_len(s1: str, s2: str) -> int:
     return bin(row).count("1")
 
 
-def indel_ratio(s1: str, s2: str) -> float:
+def indel_ratio(s1: str, s2: str, mask_cache: dict | None = None) -> float:
     """Normalized indel similarity in [0, 1] (rapidfuzz fuzz.ratio semantics).
 
     indel_distance = len1 + len2 - 2*LCS; ratio = 1 - dist/(len1+len2).
@@ -146,7 +157,7 @@ def indel_ratio(s1: str, s2: str) -> float:
     lensum = len(s1) + len(s2)
     if lensum == 0:
         return 1.0
-    dist = lensum - 2 * _lcs_len(s1, s2)
+    dist = lensum - 2 * _lcs_len(s1, s2, mask_cache=mask_cache)
     return 1.0 - dist / lensum
 
 

@@ -76,7 +76,11 @@ def detect_language(text: str) -> str:
         return "und"
     best_lang = "und"
     best_hits = 0
-    for lang, sw in STOPWORDS.items():
+    # iterate in sorted lang order with strict > so ties keep the first
+    # (lexicographically smallest) language — same tie-break as the JVM
+    # operator in operators/textstats.py (which counts distinct stopword
+    # *types*; this counts occurrences — that divergence stays documented).
+    for lang, sw in sorted(STOPWORDS.items()):
         hits = sum(1 for t in tokens if t in sw)
         if hits > best_hits:
             best_hits = hits

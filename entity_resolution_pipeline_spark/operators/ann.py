@@ -138,8 +138,9 @@ def ivf_topk(
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm_col(vec_col).alias("cn"),
         "cell",
-    )
+    ).where(F.col("cn") > 0)  # zero-norm guard, mirroring brute_force_topk
 
     # per-query probe cells (small: done in one Arrow pass over queries)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -159,7 +160,7 @@ def ivf_topk(
     q_probe = queries.select(id_col, vec_col).mapInPandas(probes, schema=probe_schema)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm_col(vec_col).alias("qn")
-    )
+    ).where(F.col("qn") > 0)
     cand = (
         F.broadcast(q_probe.join(q, "query_id"))
         .join(corpus_cells, "cell")
@@ -167,7 +168,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * _norm_col("cv"))).alias("cosine"),
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -65,7 +65,8 @@ def name_keys(records: DataFrame) -> DataFrame:
 
 def host_keys(records: DataFrame) -> DataFrame:
     """(url, key) = host + first person token — pure JVM expressions."""
-    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    # no trailing "/": path-less URLs (https://host.com) must still get a key
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
     first_tok = F.lower(F.regexp_extract("person", r"^([A-Za-z]+)", 1))
     return (
         records.where(F.col("person").isNotNull())

@@ -47,6 +47,15 @@ class LRModel:
             "feature_names": list(self.feature_names),
         }
 
+    def digest(self) -> str:
+        """Content hash of the trained parameters — mixed into the score-stage
+        resume fingerprint so retraining invalidates cached scores."""
+        import hashlib
+        import json
+
+        blob = json.dumps(self.to_dict(), sort_keys=True).encode("utf-8")
+        return hashlib.sha1(blob).hexdigest()[:16]
+
     @classmethod
     def from_dict(cls, d: dict) -> "LRModel":
         return cls(

@@ -82,24 +82,34 @@ _HARMONIC_PAIRS = [
     ("provision", "subjects"),
 ]
 
-# Columns shipped through Arrow to the scoring kernel: both sides' strings
-# plus JVM-precomputed equality flags. Hash columns stay JVM-side (they are
+# Columns shipped through Arrow to the scoring kernel: both sides' strings,
+# JVM-precomputed equality flags, plus two JVM-precomputed hot-path values:
+# ``person_lev`` (built-in codegen'd levenshtein — the round-1 throughput
+# ceiling was this kernel in Python) and ``pf_false`` (the P12 dissimilarity
+# prefilter, derived from person_lev). Hash columns stay JVM-side (they are
 # 39-char decimal strings; shipping them halved Arrow-pipe throughput).
 PAIR_SIDE_COLS = (
     [f + "1" for f in FIELDS]
     + [f + "2" for f in FIELDS]
     + [f + "_eq" for f in FIELDS]
+    + ["person_lev", "pf_false"]
 )
 
 
 class _BatchMemo:
-    """Per-batch caches for year extraction and string-pair similarities."""
+    """Per-partition caches for year extraction and string-pair similarities.
+
+    Strings repeat across pairs far more than pairs repeat, so everything
+    derivable from one string (years, token-sorted form, LCS char masks) is
+    memoized per string and everything pairwise per unordered pair.
+    """
 
     def __init__(self):
         self.years: dict[str, tuple] = {}
         self.lev: dict[tuple, float] = {}
         self.tsr: dict[tuple, float] = {}
         self.sorted_form: dict[str, str] = {}
+        self.masks: dict[str, dict] = {}
 
     def get_years(self, s: str):
         y = self.years.get(s)
@@ -127,10 +137,12 @@ class _BatchMemo:
         k = (s1, s2) if s1 <= s2 else (s2, s1)
         v = self.tsr.get(k)
         if v is None:
-            # token_sort_ratio = indel ratio of the token-sorted forms;
-            # the sorted form is memoized per string (strings repeat across
-            # pairs far more than pairs repeat)
-            v = indel_ratio(self._sorted(s1), self._sorted(s2))
+            # token_sort_ratio = indel ratio of the token-sorted forms
+            t1, t2 = self._sorted(s1), self._sorted(s2)
+            if t1 == t2:
+                v = 1.0
+            else:
+                v = indel_ratio(t1, t2, mask_cache=self.masks)
             self.tsr[k] = v
         return v
 
@@ -138,14 +150,27 @@ class _BatchMemo:
 def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str | None]:
     """(18 features, prefilter in {'true','false',None}) for one pair.
 
-    Mirrors _construct_feature_vector + _apply_prefilters exactly (semantics,
-    not code): features only computed when both sides present; else 0.0.
+    Reference row-wise implementation (semantics of
+    _construct_feature_vector + _apply_prefilters): features only computed
+    when both sides present; else 0.0. The production path is the vectorized
+    ``_features_batch`` below — tests fuzz the two against each other.
+
+    ``row`` may carry JVM-precomputed ``person_lev``; if absent it is derived
+    here (hash-equal pairs short-circuit to 1.0 — the reference compares the
+    single shared unique_strings representative for both sides).
     """
     fv = [0.0] * len(FEATURE_NAMES)
     idx = {n: i for i, n in enumerate(FEATURE_NAMES)}
 
     p1, p2 = row["person1"], row["person2"]
-    c1, c2 = row["composite1"], row["composite2"]
+
+    def person_lev() -> float:
+        v = row.get("person_lev")
+        if v is not None and not (isinstance(v, float) and np.isnan(v)):
+            return float(v)
+        if row["person_eq"]:
+            return 1.0
+        return memo.get_lev(p1, p2)
 
     # --- prefilters (ordered exactly as the reference) ---
     # equality flags are hash equality (case/ws-insensitive) computed JVM-side
@@ -154,17 +179,17 @@ def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str 
         b, d = memo.get_years(p1)
         if b is not None or d is not None:
             prefilter = "true"
-    if prefilter is None and c1 is not None and c2 is not None and c1 == c2:
+    if prefilter is None and row["composite_eq"]:
         prefilter = "true"
     if prefilter is None and p1 is not None and p2 is not None:
         max_len = max(len(p1), len(p2))
-        if max_len == 0 or memo.get_lev(p1, p2) < 0.3:
+        if max_len == 0 or person_lev() < 0.3:
             prefilter = "false"
 
     # --- person string similarities ---
     if p1 is not None and p2 is not None:
-        fv[idx["person_levenshtein"]] = memo.get_lev(p1, p2)
-        fv[idx["person_jaro_winkler"]] = memo.get_tsr(p1, p2)
+        fv[idx["person_levenshtein"]] = person_lev()
+        fv[idx["person_jaro_winkler"]] = 1.0 if row["person_eq"] else memo.get_tsr(p1, p2)
 
     # --- birth/death year features ---
     if p1 is not None and p2 is not None:
@@ -184,7 +209,7 @@ def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str 
         if row[f + "_eq"]:
             sim = 1.0
         elif f == "person":
-            sim = memo.get_lev(s1, s2)
+            sim = person_lev()
         else:
             sim = memo.get_tsr(s1, s2)
         sims[f] = sim
@@ -202,17 +227,122 @@ def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str 
     return fv, prefilter
 
 
-def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, list]:
+_IDX = {n: i for i, n in enumerate(FEATURE_NAMES)}
+
+
+def _obj_col(pdf: pd.DataFrame, c: str) -> np.ndarray:
+    """Column as object ndarray with NaN normalized to None (no row loop)."""
+    s = pdf[c]
+    a = s.to_numpy(dtype=object, copy=True)
+    na = s.isna().to_numpy()
+    if na.any():
+        a[na] = None
+    return a
+
+
+def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized feature assembly: numpy masks + per-*unique* Python kernels.
+
+    The only row loops left run over rows that genuinely need a Python
+    similarity (non-hash-equal pairs) or a year extraction, and each call is
+    a memo-dict hit after the first occurrence of a string (pair).
+    """
     n = len(pdf)
     X = np.zeros((n, len(FEATURE_NAMES)))
-    prefilters = [None] * n
-    cols = {c: pdf[c].to_numpy(dtype=object) for c in PAIR_SIDE_COLS}
-    for i in range(n):
-        row = {c: (None if cols[c][i] is None or (isinstance(cols[c][i], float) and np.isnan(cols[c][i])) else cols[c][i]) for c in PAIR_SIDE_COLS}
-        fv, pref = compute_features_row(row, memo)
-        X[i] = fv
-        prefilters[i] = pref
-    return X, prefilters
+
+    strs = {c: _obj_col(pdf, c) for f in FIELDS for c in (f + "1", f + "2")}
+    eq = {f: pdf[f + "_eq"].fillna(False).to_numpy(dtype=bool) for f in FIELDS}
+    plev = pd.to_numeric(pdf["person_lev"], errors="coerce").to_numpy(dtype=np.float64)
+    pf_false = pdf["pf_false"].fillna(False).to_numpy(dtype=bool)
+
+    present = {}
+    for f in FIELDS:
+        present[f] = np.fromiter(
+            (a is not None for a in strs[f + "1"]), dtype=bool, count=n
+        ) & np.fromiter((a is not None for a in strs[f + "2"]), dtype=bool, count=n)
+
+    # --- per-field similarity (the f_cosine features) ---
+    sims = {}
+    for f in FIELDS:
+        sim = np.zeros(n)
+        if f == "person":
+            # JVM-precomputed (eq-pairs already short-circuited to 1.0)
+            sim = np.where(np.isnan(plev), 0.0, plev)
+        else:
+            sim[eq[f] & present[f]] = 1.0
+            need = np.flatnonzero(present[f] & ~eq[f])
+            if need.size:
+                s1, s2 = strs[f + "1"], strs[f + "2"]
+                sim[need] = [memo.get_tsr(s1[i], s2[i]) for i in need]
+        sims[f] = sim
+        X[:, _IDX[f + "_cosine"]] = sim
+
+    X[:, _IDX["person_levenshtein"]] = sims["person"]
+
+    # person_jaro_winkler: 1.0 on hash equality, else token_sort_ratio
+    pjw = np.zeros(n)
+    pp = present["person"]
+    pjw[eq["person"] & pp] = 1.0
+    need = np.flatnonzero(pp & ~eq["person"])
+    if need.size:
+        s1, s2 = strs["person1"], strs["person2"]
+        pjw[need] = [memo.get_tsr(s1[i], s2[i]) for i in need]
+    X[:, _IDX["person_jaro_winkler"]] = pjw
+
+    # --- birth/death years (memoized per unique person string) ---
+    by1 = np.full(n, np.nan)
+    dy1 = np.full(n, np.nan)
+    by2 = np.full(n, np.nan)
+    dy2 = np.full(n, np.nan)
+    has1 = np.zeros(n, dtype=bool)
+    has2 = np.zeros(n, dtype=bool)
+    p_rows = np.flatnonzero(pp)
+    if p_rows.size:
+        s1, s2 = strs["person1"], strs["person2"]
+        for i in p_rows:
+            b, d = memo.get_years(s1[i])
+            if b is not None:
+                by1[i] = b
+            if d is not None:
+                dy1[i] = d
+            has1[i] = b is not None or d is not None
+            b, d = memo.get_years(s2[i])
+            if b is not None:
+                by2[i] = b
+            if d is not None:
+                dy2[i] = d
+            has2[i] = b is not None or d is not None
+    X[:, _IDX["birth_year_match"]] = (~np.isnan(by1) & ~np.isnan(by2) & (by1 == by2)).astype(float)
+    X[:, _IDX["death_year_match"]] = (~np.isnan(dy1) & ~np.isnan(dy2) & (dy1 == dy2)).astype(float)
+    X[:, _IDX["has_birth_death_years"]] = (has1 & has2).astype(float)
+
+    # --- interactions (sims are 0.0 when a side is missing, matching the
+    # row-wise semantics: harmonic/product/ratio all collapse to 0.0) ---
+    for f1, f2 in _HARMONIC_PAIRS:
+        a, b = sims[f1], sims[f2]
+        both = (a > 0) & (b > 0)
+        h = np.zeros(n)
+        np.divide(2.0 * a * b, a + b, out=h, where=both)
+        X[:, _IDX[f"{f1}_{f2}_harmonic"]] = h
+    X[:, _IDX["person_subjects_product"]] = np.where(
+        present["person"] & present["subjects"], sims["person"] * sims["subjects"], 0.0
+    )
+    ratio = np.zeros(n)
+    np.divide(sims["composite"], sims["subjects"], out=ratio, where=sims["subjects"] > 0)
+    X[:, _IDX["composite_subjects_ratio"]] = np.where(
+        present["composite"] & present["subjects"], np.minimum(ratio, 10.0), 0.0
+    )
+
+    # --- prefilters, in reference order (P10 -> P11 -> P12) ---
+    pref = np.full(n, None, dtype=object)
+    # person_eq implies both persons present; years come from side 1 (P10)
+    p10 = eq["person"] & pp & has1
+    pref[p10] = "true"
+    undecided = pref == None  # noqa: E711 (elementwise)
+    pref[undecided & eq["composite"]] = "true"
+    undecided = pref == None  # noqa: E711
+    pref[undecided & pf_false] = "false"
+    return X, pref
 
 
 FEATURIZE_SCHEMA = StructType(
@@ -253,6 +383,32 @@ def with_pair_key(df: DataFrame) -> DataFrame:
             f + "_eq",
             F.coalesce(F.col(f + "_h1") == F.col(f + "_h2"), F.lit(False)),
         )
+    # person Levenshtein similarity JVM-side (whole-stage codegen) — the
+    # heaviest round-1 Python kernel. person_eq short-circuits to 1.0: the
+    # reference looks both sides up from unique_strings by normalized hash,
+    # so hash-equal pairs compare one shared representative (sim 1.0).
+    p1, p2 = F.col("person1"), F.col("person2")
+    max_len = F.greatest(F.length(p1), F.length(p2))
+    lev_sim = F.when(F.col("person_eq"), F.lit(1.0)).otherwise(
+        F.when(max_len == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.levenshtein(p1, p2).cast("double") / max_len.cast("double")
+        )
+    )
+    out = out.withColumn(
+        "person_lev",
+        F.when(p1.isNotNull() & p2.isNotNull(), lev_sim).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )
+    # P12 person-dissimilarity auto-FALSE (parallel_features.py:1044-1110):
+    # both sides present and (max_len == 0 or lev < 0.3)
+    out = out.withColumn(
+        "pf_false",
+        F.when(
+            p1.isNotNull() & p2.isNotNull(),
+            (max_len == 0) | (F.col("person_lev") < 0.3),
+        ).otherwise(F.lit(False)),
+    )
     return out
 
 
@@ -289,10 +445,7 @@ def score(df: DataFrame, model_dict: dict) -> DataFrame:
         for pdf in batches:
             X, pref = _features_batch(pdf, memo)
             p = model.predict_proba(X)
-            conf = np.where(
-                [x == "true" for x in pref], 1.0,
-                np.where([x == "false" for x in pref], 0.0, p),
-            )
+            conf = np.where(pref == "true", 1.0, np.where(pref == "false", 0.0, p))
             yield pd.DataFrame(
                 {
                     "pair_key": pdf["pair_key"],

@@ -101,7 +101,9 @@ class ERPipeline:
     def run(self, web_pages: DataFrame, labeled_pairs: DataFrame | None = None,
             force: bool = False) -> dict:
         cfg = self.config
-        input_fp = fingerprint_df(web_pages, ["url"])
+        # content-sensitive fingerprint: url alone would silently reuse stale
+        # records when the same urls arrive with changed text
+        input_fp = fingerprint_df(web_pages, ["url", "text"])
         n_pages = int(input_fp.split(":")[0])
 
         records = self._run_stage(
@@ -125,14 +127,21 @@ class ERPipeline:
 
         def build_pairs():
             pairs, oversized = B.candidate_pairs(keys, max_block_size=cfg.max_block_size)
-            over = oversized.collect()
-            self.metrics["oversized_blocks"] = [
-                {"key": r["key"], "size": int(r["block_size"])} for r in over
-            ]
+            # persist oversized blocks as a catalog table so a resumed run
+            # (pairs stage skipped) still reports them; metrics keeps only a
+            # bounded sample — at 100 TB the full list can itself be large.
+            self.catalog.write(oversized, "oversized_blocks")
             return pairs
 
         keys_fp = fingerprint_df(keys, ["url", "key"])
         pairs = self._run_stage("pairs", keys_fp, -1, build_pairs, "candidate_pairs", force)
+        if self.catalog.exists("oversized_blocks"):
+            over_df = self.catalog.read("oversized_blocks")
+            self.metrics["oversized_blocks_count"] = int(over_df.count())
+            self.metrics["oversized_blocks"] = [
+                {"key": r["key"], "size": int(r["block_size"])}
+                for r in over_df.orderBy(F.desc("block_size"), "key").limit(100).collect()
+            ]
         n_pairs = pairs.count()
         self.metrics["candidate_pairs"] = int(n_pairs)
 
@@ -144,6 +153,12 @@ class ERPipeline:
             model = self._load_model()
         if model is None:
             raise ValueError("no labeled pairs given and no saved model found")
+
+        # the score-stage fingerprint mixes in the model digest: retraining
+        # with new labels must invalidate cached scored_pairs even when the
+        # blocking keys are unchanged.
+        model_fp = model.digest()
+        score_fp = f"{keys_fp}|score|{model_fp}"
 
         # pair_fields feeds both the distinct-tuple scoring and the join-back:
         # persist so the two consumers share one computation (on a cluster
@@ -160,7 +175,7 @@ class ERPipeline:
             ).select("url1", "url2", "confidence", "prefilter")
 
         t_score0 = time.time()
-        scored = self._run_stage("score", keys_fp + "|score", int(n_pairs), build_scores, "scored_pairs", force)
+        scored = self._run_stage("score", score_fp, int(n_pairs), build_scores, "scored_pairs", force)
         self.metrics["score_wall_s"] = time.time() - t_score0
         pair_fields.unpersist()
         self.metrics["pairs_scored_per_sec"] = (
@@ -173,13 +188,13 @@ class ERPipeline:
                 e = C.transitivity_one_hop(e, cfg.min_edge_weight)
             return e
 
-        edges = self._run_stage("edges", keys_fp + "|edges", int(n_pairs), build_edges, "edges", force)
+        edges = self._run_stage("edges", score_fp + "|edges", int(n_pairs), build_edges, "edges", force)
 
         def build_clusters():
             nodes = records.select(F.col("url").alias("node"))
             return C.assign_clusters(edges, nodes)
 
-        clusters = self._run_stage("cluster", keys_fp + "|cluster", int(n_pairs), build_clusters, "clusters", force)
+        clusters = self._run_stage("cluster", score_fp + "|cluster", int(n_pairs), build_clusters, "clusters", force)
 
         result = {
             "n_pages": n_pages,

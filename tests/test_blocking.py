@@ -50,6 +50,22 @@ def test_host_keys(spark):
     assert keys == ["host|ex.org|smith"]
 
 
+def test_host_keys_pathless_url(spark):
+    """Path-less URLs (https://host.com, no trailing /) must still get a key."""
+    wp = spark.createDataFrame(
+        [("https://ex.org", "Name: Smith, John; Title: t;"),
+         ("http://other.net/x/y", "Name: Smith, Jane; Title: t;")],
+        "url string, text string",
+    ).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "text", F.lit("en").alias("lang"),
+    )
+    rec = preprocess_records(wp)
+    keys = {r["url"]: r["key"] for r in host_keys(rec).collect()}
+    assert keys["https://ex.org"] == "host|ex.org|smith"
+    assert keys["http://other.net/x/y"] == "host|other.net|smith"
+
+
 def test_lsh_keys_same_composite_same_bands(spark):
     wp = spark.createDataFrame(
         [

@@ -106,6 +106,66 @@ class TestFeatures:
         assert pref is None
 
 
+class TestBatchKernel:
+    def test_batch_matches_rowwise_fuzz(self):
+        """The vectorized production kernel must agree with the row-wise
+        reference implementation on randomized inputs (incl. the JVM-side
+        person_lev / pf_false columns, emulated here with the same formulas
+        with_pair_key uses)."""
+        import pandas as pd
+
+        from entity_resolution_pipeline_spark.operators.pairs import (
+            PAIR_SIDE_COLS,
+            _features_batch,
+        )
+
+        rng = np.random.RandomState(7)
+        pools = {
+            "person": [None, "", "Smith, John, 1840-1902", "Smith, John",
+                       "smith, JOHN", "Zzzz, Qqqq", "Smith, Joan", "Li, Wu, b. 1901"],
+            "title": [None, "essays of law", "law of essays", "poems", "Essays of Law"],
+            "provision": [None, "London 1850", "Paris 1900"],
+            "subjects": [None, "law poetry", "law", "history law poetry"],
+            "composite": [None, "x a", "x b", "Smith, John X", "smith, john x"],
+        }
+        n = 400
+        data = {}
+        for f, pool in pools.items():
+            data[f + "1"] = [pool[rng.randint(len(pool))] for _ in range(n)]
+            data[f + "2"] = [pool[rng.randint(len(pool))] for _ in range(n)]
+        for f in FIELDS:
+            eqs = []
+            for v1, v2 in zip(data[f + "1"], data[f + "2"]):
+                h1 = hash_string(v1) if v1 is not None else None
+                h2 = hash_string(v2) if v2 is not None else None
+                eqs.append(h1 is not None and h1 == h2)
+            data[f + "_eq"] = eqs
+        plev, pff = [], []
+        for v1, v2, e in zip(data["person1"], data["person2"], data["person_eq"]):
+            if v1 is None or v2 is None:
+                plev.append(None)
+                pff.append(False)
+            else:
+                lv = 1.0 if e else levenshtein_sim(v1, v2)
+                if max(len(v1), len(v2)) == 0:
+                    lv = 1.0
+                plev.append(lv)
+                pff.append(max(len(v1), len(v2)) == 0 or lv < 0.3)
+        data["person_lev"] = plev
+        data["pf_false"] = pff
+        pdf = pd.DataFrame({c: data[c] for c in ["pair_key"] + PAIR_SIDE_COLS if c in data})
+
+        from entity_resolution_pipeline_spark.operators.pairs import _BatchMemo
+
+        X, pref = _features_batch(pdf, _BatchMemo())
+        memo = _BatchMemo()
+        for i in range(n):
+            row = {c: data[c][i] for c in PAIR_SIDE_COLS}
+            fv, p = compute_features_row(row, memo)
+            assert p == pref[i], (i, row, p, pref[i])
+            np.testing.assert_allclose(X[i], np.asarray(fv), atol=1e-12, err_msg=str((i, row)))
+
+
 class TestClassifier:
     def _toy(self, n=400, seed=0):
         rng = np.random.RandomState(seed)

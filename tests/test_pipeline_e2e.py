@@ -89,6 +89,36 @@ def test_resume_recomputes_on_input_change(pipeline_run, spark):
     assert res3["n_pages"] > 0
 
 
+def test_resume_retrain_invalidates_scores(spark, tmp_path_factory):
+    """Same pages + same blocking keys but a different trained model must
+    recompute the score stage (the fingerprint mixes in the model digest)."""
+    wh = str(tmp_path_factory.mktemp("erp_wh_retrain"))
+    wp = web_pages_df(spark, 60)
+    lp_pdf = labeled_pairs_pdf(60, 300)
+    pipe = ERPipeline(spark, wh, ERConfig())
+    pipe.run(wp, spark.createDataFrame(lp_pdf))
+    scores1 = {
+        (r["url1"], r["url2"]): r["confidence"]
+        for r in pipe.catalog.read("scored_pairs").collect()
+    }
+
+    lp_flipped = lp_pdf.copy()
+    lp_flipped["match"] = ~lp_flipped["match"].astype(bool)
+    pipe2 = ERPipeline(spark, wh, ERConfig())
+    pipe2.run(wp, spark.createDataFrame(lp_flipped))
+    m2 = pipe2.manifest.read().where(F.col("run_id") == pipe2.manifest.run_id)
+    score_ok = m2.where((F.col("stage") == "score") & (F.col("status") == "ok"))
+    assert score_ok.count() > 0, "score stage must recompute after retraining"
+    # upstream stages (same pages/keys) still skip
+    skipped = {r["stage"] for r in m2.where(F.col("status") == "skipped").collect()}
+    assert {"preprocess", "blocking", "pairs"} <= skipped
+    scores2 = {
+        (r["url1"], r["url2"]): r["confidence"]
+        for r in pipe2.catalog.read("scored_pairs").collect()
+    }
+    assert scores1 != scores2, "flipped labels must change model scores"
+
+
 def test_oversized_blocks_logged(pipeline_run):
     pipe, result, *_ = pipeline_run
     # the hot aggregator host is engineered into the fixture; with the

@@ -2,10 +2,11 @@
 
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
 over the driver's testdata tables; ``oracle_sql()`` gives the DuckDB-checkable
-equivalent (omitted for genuinely non-SQL ops: iterative CC is validated via a
-SQL-derivable graph instead, MinHash/SimHash/IVF are rows-only).
-``entry(spark)`` runs the flagship near-dup + connected-components flow on
-sf0.001.
+equivalent for EVERY query (the sketches — MinHash-LSH, SimHash, winnowing
+fingerprints, IVF — are built on a shared md5-60bit hash primitive that
+DuckDB reproduces exactly; iterative CC is validated via a SQL-derivable
+graph). ``entry(spark)`` runs the flagship near-dup + connected-components
+flow on sf0.001.
 
 Column names are aliased identically on both sides; float results are rounded
 identically on both sides (the driver compares order-insensitive value
@@ -137,18 +138,72 @@ def q_a9_confusion(spark, sf_dir):
 
 
 def q_a10_cluster_stats(spark, sf_dir):
-    sizes = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("size"))
+    """A10 full parity: base stats + interpolated quantiles + size buckets
+    (the cluster_size_stats operator over orders-as-clusters)."""
+    from entity_resolution_pipeline_spark.operators.cluster import cluster_size_stats
+
+    clusters = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cluster_id"))
+    s = cluster_size_stats(clusters)
+    return s.select(
+        "n_clusters", "min_size", "max_size",
+        F.round("mean_size", 6).alias("mean_size"),
+        "median_size",
+        F.round("std_size", 6).alias("std_size"),
+        F.round("size_q10", 6).alias("size_q10"),
+        F.round("size_q25", 6).alias("size_q25"),
+        F.round("size_q75", 6).alias("size_q75"),
+        F.round("size_q90", 6).alias("size_q90"),
+        "g_1", "g_2_5", "g_6_10", "g_11_20", "g_21_50", "g_51_plus",
     )
-    return sizes.agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        F.min("size").alias("min_size"),
-        F.max("size").alias("max_size"),
-        F.round(F.avg("size"), 6).alias("mean_size"),
-        F.expr("percentile(size, 0.5)").alias("median_size"),
-        F.round(F.stddev_pop("size"), 6).alias("std_size"),
+
+
+def q_a11_corr(spark, sf_dir):
+    """A11 feature-health: pairwise Pearson correlation matrix (upper
+    triangle) + constant-feature detection over lineitem numerics
+    (parallel_features.py:1008-1042 analogue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rows = []
+    for i, f1 in enumerate(feats):
+        for f2 in feats[i + 1:]:
+            rows.append(
+                li.agg(
+                    F.lit(f1).alias("f1"),
+                    F.lit(f2).alias("f2"),
+                    F.round(F.corr(f1, f2), 6).alias("pearson_r"),
+                    (F.stddev_pop(f1) == 0).cast("int").alias("f1_constant"),
+                    (F.stddev_pop(f2) == 0).cast("int").alias("f2_constant"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_m6_pr_curve(spark, sf_dir):
+    """M6 precision/recall curve points: cumulative TP over descending
+    score thresholds (classification.py:1085-1150 analogue) on a
+    deterministic synthetic score over embeddings."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") == 0).cast("int").alias("y"),
+        ((F.col("vec_id") * 37 % 21) / 20.0).alias("score"),
+    )
+    g = e.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy(F.desc("score"))
+    wall = Window.partitionBy()
+    c = g.select(
+        "score",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("pos").over(wall).alias("tot_pos"),
+    )
+    return c.select(
+        F.round("score", 6).alias("threshold"),
+        F.round(F.col("cum_pos").cast("double") / F.col("cum_n"), 6).alias("prec"),
+        F.round(F.col("cum_pos").cast("double") / F.col("tot_pos"), 6).alias("rec"),
     )
 
 
@@ -422,10 +477,13 @@ def q_cc_components(spark, sf_dir):
     )
 
 
-# ---- non-SQL-expressible (rows-only checks) ----
+# ---- md5-rebased sketches (exact DuckDB oracles via the shared
+# hash60 primitive, operators/util.md5_hash60) ----
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    out = _dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    out = _dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_perm=32, bands=8, shingle_k=5
+    )
     return out.select("doc_id1", "doc_id2", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
@@ -488,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_confusion": q_a9_confusion,
         "a10_cluster_stats": q_a10_cluster_stats,
         "a11_feature_stats": q_a11_feature_stats,
+        "a11_corr": q_a11_corr,
+        "m6_pr_curve": q_m6_pr_curve,
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_mode_value": q_w2_mode_value,
         "w3_largest_groups": q_w3_largest_groups,
@@ -508,7 +568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "cc_components": q_cc_components,
         "multimodal_mime": q_multimodal_mime,
-        # rows-only (no SQL equivalent)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -585,8 +644,71 @@ def oracle_sql() -> dict[str, str]:
                    max(size) AS max_size,
                    round(avg(size), 6) AS mean_size,
                    median(size) AS median_size,
-                   round(stddev_pop(size), 6) AS std_size
+                   round(stddev_pop(size), 6) AS std_size,
+                   round(quantile_cont(size, 0.1), 6) AS size_q10,
+                   round(quantile_cont(size, 0.25), 6) AS size_q25,
+                   round(quantile_cont(size, 0.75), 6) AS size_q75,
+                   round(quantile_cont(size, 0.9), 6) AS size_q90,
+                   sum(CASE WHEN size = 1 THEN 1 ELSE 0 END)::BIGINT AS g_1,
+                   sum(CASE WHEN size BETWEEN 2 AND 5 THEN 1 ELSE 0 END)::BIGINT AS g_2_5,
+                   sum(CASE WHEN size BETWEEN 6 AND 10 THEN 1 ELSE 0 END)::BIGINT AS g_6_10,
+                   sum(CASE WHEN size BETWEEN 11 AND 20 THEN 1 ELSE 0 END)::BIGINT AS g_11_20,
+                   sum(CASE WHEN size BETWEEN 21 AND 50 THEN 1 ELSE 0 END)::BIGINT AS g_21_50,
+                   sum(CASE WHEN size >= 51 THEN 1 ELSE 0 END)::BIGINT AS g_51_plus
             FROM sizes
+        """,
+        "a11_corr": """
+            WITH pairs(f1, f2) AS (
+              VALUES ('l_quantity', 'l_extendedprice'),
+                     ('l_quantity', 'l_discount'),
+                     ('l_quantity', 'l_tax'),
+                     ('l_extendedprice', 'l_discount'),
+                     ('l_extendedprice', 'l_tax'),
+                     ('l_discount', 'l_tax')),
+            stats AS (
+              SELECT round(corr(l_quantity, l_extendedprice), 6) AS c_qe,
+                     round(corr(l_quantity, l_discount), 6) AS c_qd,
+                     round(corr(l_quantity, l_tax), 6) AS c_qt,
+                     round(corr(l_extendedprice, l_discount), 6) AS c_ed,
+                     round(corr(l_extendedprice, l_tax), 6) AS c_et,
+                     round(corr(l_discount, l_tax), 6) AS c_dt,
+                     CASE WHEN stddev_pop(l_quantity) = 0 THEN 1 ELSE 0 END AS k_q,
+                     CASE WHEN stddev_pop(l_extendedprice) = 0 THEN 1 ELSE 0 END AS k_e,
+                     CASE WHEN stddev_pop(l_discount) = 0 THEN 1 ELSE 0 END AS k_d,
+                     CASE WHEN stddev_pop(l_tax) = 0 THEN 1 ELSE 0 END AS k_t
+              FROM lineitem)
+            SELECT p.f1, p.f2,
+                   CASE p.f1 || '|' || p.f2
+                     WHEN 'l_quantity|l_extendedprice' THEN s.c_qe
+                     WHEN 'l_quantity|l_discount' THEN s.c_qd
+                     WHEN 'l_quantity|l_tax' THEN s.c_qt
+                     WHEN 'l_extendedprice|l_discount' THEN s.c_ed
+                     WHEN 'l_extendedprice|l_tax' THEN s.c_et
+                     ELSE s.c_dt END AS pearson_r,
+                   CASE p.f1 WHEN 'l_quantity' THEN s.k_q
+                     WHEN 'l_extendedprice' THEN s.k_e
+                     WHEN 'l_discount' THEN s.k_d ELSE s.k_t END AS f1_constant,
+                   CASE p.f2 WHEN 'l_quantity' THEN s.k_q
+                     WHEN 'l_extendedprice' THEN s.k_e
+                     WHEN 'l_discount' THEN s.k_d ELSE s.k_t END AS f2_constant
+            FROM pairs p CROSS JOIN stats s
+        """,
+        "m6_pr_curve": """
+            WITH s AS (
+              SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+                     (vec_id * 37 % 21) / 20.0 AS score
+              FROM embeddings),
+            g AS (SELECT score, count(*) AS n, sum(y) AS pos FROM s GROUP BY score),
+            c AS (
+              SELECT score,
+                     sum(n) OVER (ORDER BY score DESC) AS cum_n,
+                     sum(pos) OVER (ORDER BY score DESC) AS cum_pos,
+                     sum(pos) OVER () AS tot_pos
+              FROM g)
+            SELECT round(score, 6) AS threshold,
+                   round(cum_pos::DOUBLE / cum_n, 6) AS prec,
+                   round(cum_pos::DOUBLE / tot_pos, 6) AS rec
+            FROM c
         """,
         "a11_feature_stats": """
             SELECT feature,
@@ -741,16 +863,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS (
-              SELECT doc_id,
-                     list_distinct(str_split(lower({norm}), ' ')) AS toks,
-                     str_split(lower({norm}), ' ')[1] AS bkey
+              SELECT doc_id, list_distinct(str_split(lower({norm}), ' ')) AS toks
               FROM documents
               WHERE lower({norm}) <> ''),
+            t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+            t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+            tdf AS (SELECT tok, count(*) AS dfreq FROM t2 GROUP BY tok),
+            r AS (
+              SELECT t2.doc_id, t2.tok,
+                     row_number() OVER (PARTITION BY t2.doc_id
+                                        ORDER BY tdf.dfreq, t2.tok) AS rn
+              FROM t2 JOIN tdf USING (tok)),
+            bk AS (SELECT doc_id, tok AS bkey FROM r WHERE rn <= 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+              FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
             p AS (
-              SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-                     len(list_intersect(a.toks, b.toks))::DOUBLE
-                       / len(list_distinct(list_concat(a.toks, b.toks))) AS j
-              FROM d a JOIN d b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+              SELECT doc_id1, doc_id2,
+                     len(list_intersect(da.toks, db.toks))::DOUBLE
+                       / len(list_distinct(list_concat(da.toks, db.toks))) AS j
+              FROM cand
+              JOIN d da ON da.doc_id = cand.doc_id1
+              JOIN d db ON db.doc_id = cand.doc_id2)
             SELECT doc_id1, doc_id2, round(j, 6) AS jaccard
             FROM p WHERE j >= 0.5
         """,
@@ -821,5 +955,140 @@ def oracle_sql() -> dict[str, str]:
                      + CASE WHEN doc_id % 3 = 0 THEN 4
                             WHEN doc_id % 3 = 1 THEN 3 ELSE 0 END AS n_bytes
             FROM documents
+        """,
+        # md5-rebased sketches: DuckDB replays the identical sketch via the
+        # shared 60-bit md5 primitive ('0x'||substr(md5(x),1,15))::BIGINT
+        "dedup_minhash_lsh": f"""
+            WITH d0 AS (SELECT doc_id, lower({norm}) AS nt FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN nt = '' THEN []::VARCHAR[]
+                          WHEN length(nt) <= 5 THEN [nt]
+                          ELSE list_distinct(list_transform(
+                               range(1, length(nt) - 5 + 2),
+                               i -> substr(nt, i, 5))) END AS sh
+              FROM d0),
+            s AS (
+              SELECT doc_id,
+                     list_transform(range(0, 32), j ->
+                       list_min(list_transform(sh, sg ->
+                         ('0x' || substr(md5(concat(j::VARCHAR, '|', sg)), 1, 15))::BIGINT))) AS sig
+              FROM d WHERE len(sh) > 0),
+            b AS (
+              SELECT doc_id, sig,
+                     unnest(list_transform(range(0, 8), bb ->
+                       md5(concat(bb::VARCHAR, ':',
+                         list_aggregate(list_transform(
+                           list_slice(sig, bb * 4 + 1, bb * 4 + 4),
+                           x -> x::VARCHAR), 'string_agg', ','))))) AS band
+              FROM s),
+            p AS (
+              SELECT DISTINCT a.doc_id AS doc_id1, b2.doc_id AS doc_id2,
+                     len(list_filter(range(1, 33), i -> a.sig[i] = b2.sig[i]))::DOUBLE
+                       / 32 AS est
+              FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
+            SELECT doc_id1, doc_id2, round(est, 6) AS est_jaccard
+            FROM p WHERE est >= 0.5
+        """,
+        "dedup_simhash": f"""
+            WITH d0 AS (SELECT doc_id, lower({norm}) AS nt FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN nt = '' THEN []::BIGINT[]
+                          ELSE list_transform(str_split(nt, ' '), s ->
+                               ('0x' || substr(md5(s), 1, 15))::BIGINT) END AS hs
+              FROM d0),
+            s AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(0, 60), i ->
+                       CASE WHEN 2 * len(list_filter(hs, h -> (h >> i) & 1 = 1)) > len(hs)
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS simhash
+              FROM d),
+            b AS (
+              SELECT doc_id, simhash,
+                     unnest(list_transform(range(0, 4), bb ->
+                       bb * 32768 + ((simhash >> (15 * bb)) & 32767))) AS band
+              FROM s),
+            p AS (
+              SELECT DISTINCT a.doc_id AS doc_id1, b2.doc_id AS doc_id2,
+                     bit_count(xor(a.simhash, b2.simhash))::INT AS hamming
+              FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
+            SELECT doc_id1, doc_id2, hamming FROM p WHERE hamming <= 12
+        """,
+        "text_fingerprints": f"""
+            WITH d0 AS (SELECT doc_id, {norm} AS nt FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+                          WHEN length(nt) <= 8 THEN [nt]
+                          ELSE list_transform(range(1, length(nt) - 8 + 2),
+                               i -> substr(nt, i, 8)) END AS grams
+              FROM d0),
+            h AS (
+              SELECT doc_id, list_transform(grams, gg ->
+                       ('0x' || substr(md5(gg), 1, 15))::BIGINT) AS hs
+              FROM g),
+            w AS (
+              SELECT doc_id, hs,
+                     CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                          WHEN len(hs) <= 8 THEN [list_min(hs)]
+                          ELSE list_transform(range(1, len(hs) - 8 + 2),
+                               j -> list_min(list_slice(hs, j, j + 7))) END AS wmins
+              FROM h)
+            SELECT doc_id, list_min(hs) AS fingerprint,
+                   len(list_distinct(wmins))::BIGINT AS n_winnowed
+            FROM w
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+              FROM embeddings),
+            en AS (SELECT * FROM e WHERE nrm > 0),
+            c0 AS (
+              SELECT vec_id AS cid, embedding AS cv, nrm AS cn0,
+                     md5(vec_id::VARCHAR) AS h
+              FROM en ORDER BY h, cid LIMIT 8),
+            c AS (SELECT cv, cn0, row_number() OVER (ORDER BY h, cid) AS cidx FROM c0),
+            asg0 AS (
+              SELECT en.vec_id, c.cidx AS cell,
+                     list_sum(list_transform(list_zip(en.embedding, c.cv),
+                              z -> z[1]::DOUBLE * z[2])) / (en.nrm * c.cn0) AS csim
+              FROM en CROSS JOIN c),
+            asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY csim DESC, cell ASC) AS rn
+                FROM asg0) WHERE rn = 1),
+            cc AS (
+              SELECT en.vec_id AS neighbor_id, en.embedding AS cv, en.nrm AS cn, asg.cell
+              FROM en JOIN asg USING (vec_id)),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+                  FROM en WHERE vec_id < 5),
+            qp0 AS (
+              SELECT q.query_id, c.cidx AS cell,
+                     list_sum(list_transform(list_zip(q.qv, c.cv),
+                              z -> z[1]::DOUBLE * z[2])) / (q.qn * c.cn0) AS csim
+              FROM q CROSS JOIN c),
+            qp AS (
+              SELECT query_id, cell FROM (
+                SELECT query_id, cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY csim DESC, cell ASC) AS rn
+                FROM qp0) WHERE rn <= 4),
+            cand AS (
+              SELECT q.query_id, cc.neighbor_id,
+                     list_sum(list_transform(list_zip(q.qv, cc.cv),
+                              z -> z[1]::DOUBLE * z[2])) / (q.qn * cc.cn) AS cs
+              FROM qp JOIN q USING (query_id) JOIN cc USING (cell)
+              WHERE q.query_id <> cc.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cs,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cs DESC, neighbor_id ASC) AS rank
+              FROM cand)
+            SELECT query_id, neighbor_id, round(cs, 4) AS cosine, rank
+            FROM r WHERE rank <= 10
         """,
     }

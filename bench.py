@@ -348,15 +348,35 @@ def main():
         passes = max(1, min(8, round(target / max(warm2, 0.5))))
         _log(f"scale warmups: 2-core {warm2:.1f}s, 8-core {warm8:.1f}s -> passes={passes}")
 
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        # interleaved reps until the two fastest walls per level agree within
+        # 8% (>= 3, <= max_reps): co-tenant bursts inflate individual reps,
+        # so the per-level estimate is the MIN wall — the standard
+        # least-interference estimator (cf. python timeit docs) — and the
+        # convergence criterion proves the min is reproducible, not a fluke.
+        # All walls + medians + per-rep steal deltas ship in the JSON.
+        min_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        max_reps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "6"))
         walls = {2: [], 8: []}
         steals = {2: [], 8: []}
-        for r in range(reps):
+
+        def converged(ws):
+            if len(ws) < min_reps:
+                return False
+            lo = sorted(ws)[:2]
+            return lo[1] <= lo[0] * 1.08
+
+        for r in range(max_reps):
+            done = True
             for cores, w in ((2, w2), (8, w8)):
+                if converged(walls[cores]):
+                    continue
+                done = False
                 wall, st = run_rep(w, passes)
                 walls[cores].append(round(wall, 3))
                 steals[cores].append(st)
-                _log(f"scale rep {r + 1}/{reps} {cores}c: {wall:.2f}s steal_jf={st}")
+                _log(f"scale rep {r + 1} {cores}c: {wall:.2f}s steal_jf={st}")
+            if done:
+                break
         stop(w2)
         stop(w8)
 
@@ -367,6 +387,7 @@ def main():
         wall32, _ = run_rep(w32, passes)
         stop(w32)
 
+        best = {c: min(ws) for c, ws in walls.items()}
         med = {c: sorted(ws)[len(ws) // 2] for c, ws in walls.items()}
         work = n_tuples * passes
 
@@ -377,22 +398,27 @@ def main():
             "tuples": n_tuples,
             "passes": passes,
             "walls_s": {"2": walls[2], "8": walls[8], "32": [round(wall32, 3)]},
+            "best_wall_s": {"2": best[2], "8": best[8], "32": round(wall32, 3)},
             "median_wall_s": {"2": med[2], "8": med[8], "32": round(wall32, 3)},
             "steal_jiffies": {"2": steals[2], "8": steals[8]},
             "cpu_sets": {"2": sorted(cpus2), "8": sorted(cpus8)},
             "tuples_per_sec": {
-                "2": round(thr(med[2]), 1),
-                "8": round(thr(med[8]), 1),
+                "2": round(thr(best[2]), 1),
+                "8": round(thr(best[8]), 1),
                 "32": round(thr(wall32), 1),
             },
-            "efficiency_2_to_8": round(thr(med[8]) / (4 * thr(med[2])), 4),
-            "efficiency_8_to_32": round(thr(wall32) / (4 * thr(med[8])), 4),
+            "efficiency_2_to_8": round(thr(best[8]) / (4 * thr(best[2])), 4),
+            "efficiency_2_to_8_median": round(thr(med[8]) / (4 * thr(med[2])), 4),
+            "efficiency_8_to_32": round(thr(wall32) / (4 * thr(best[8])), 4),
             "note": "criterion pair N=2 -> 4N=8: each level's whole process "
                     "tree (JVM+GC+python workers) is sched_setaffinity-pinned "
-                    "to that many of the most-idle CPUs (disjoint sets), reps "
-                    "interleaved 2,8,2,8,... and median-of-%d per level to "
-                    "cancel co-tenant drift; 8->32 is informational only "
-                    "(unpinned; a co-tenant holds ~9 of 32 CPUs)" % reps,
+                    "to that many of the most-idle CPUs (disjoint sets); reps "
+                    "interleaved 2,8,2,8,... until the two fastest walls per "
+                    "level agree within 8%; estimate = min wall "
+                    "(least-interference, timeit-style; medians + per-rep "
+                    "/proc/stat steal deltas reported alongside). 8->32 is "
+                    "informational only (unpinned; a co-tenant holds ~9 of "
+                    "32 CPUs)",
         }
 
     print(json.dumps({

@@ -9,24 +9,20 @@ two DataFrame plans over ``(id, array<float>)``:
   Exact baseline; scales linearly in corpus size — the right tool when the
   query set is small.
 - ivf_topk: IVF-style two-stage search. Deterministic centroids are chosen by
-  hashing ids (evenly spaced sample), every corpus vector is assigned to its
-  nearest centroid (one Arrow pass), and queries probe only the ``nprobe``
-  nearest cells — the classic inverted-file trade of recall for a
-  corpus-scan factor of ~nprobe/ncells.
+  md5-hashing ids (evenly spread sample, reproducible in DuckDB), every
+  corpus vector is assigned to its nearest centroid, and queries probe only
+  the ``nprobe`` nearest cells — the classic inverted-file trade of recall
+  for a corpus-scan factor of ~nprobe/ncells. Every stage is a JVM
+  DataFrame expression (no Python in the path).
 
-Ties are broken by ascending corpus id so results are deterministic and
-oracle-comparable.
+Ties are broken by ascending corpus id / centroid index so results are
+deterministic and oracle-comparable.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
 def _norm_col(vec_col: str):
@@ -76,47 +72,52 @@ def brute_force_topk(
     )
 
 
-_ASSIGN_SCHEMA = StructType(
-    [StructField("vec_id", LongType()), StructField("cell", IntegerType())]
-)
-
-
-def ivf_assign(
-    corpus: DataFrame,
-    centroids: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign each vector to its nearest (cosine) centroid — one Arrow pass."""
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            nrm = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            sims = (V / nrm) @ cn.T
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col], "cell": sims.argmax(axis=1).astype(np.int32)}
-            )
-
-    return corpus.select(id_col, vec_col).mapInPandas(run, schema=_ASSIGN_SCHEMA)
-
-
 def pick_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> np.ndarray:
-    """Deterministic centroid sample: the n_cells smallest xxhash64(id)."""
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .withColumn("h", F.xxhash64(F.col("i").cast("string")))
-        .orderBy("h")
+) -> DataFrame:
+    """Deterministic centroid sample as a (cidx, cv, cn0) DataFrame.
+
+    The n_cells vectors with the smallest md5(id) — an evenly-spread,
+    engine-independent hash sample (md5 exists in DuckDB too, so the
+    correctness oracle picks the identical centroids). Zero-norm vectors are
+    excluded (they cannot anchor a cosine cell).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv0"),
+            _norm_col(vec_col).alias("cn0"),
+            h.alias("h"),
+        )
+        .where(F.col("cn0") > 0)
+        .orderBy("h", "cid")
         .limit(n_cells)
-        .collect()
     )
-    return np.array([r["v"] for r in rows], dtype=np.float64)
+    w = Window.orderBy("h", "cid")
+    return cents.withColumn("cidx", F.row_number().over(w)).select("cidx", "cv0", "cn0")
+
+
+def _nearest_cells(
+    vecs: DataFrame, cents: DataFrame, id_alias: str, n_keep: int
+) -> DataFrame:
+    """(id, cell) pairs: each vector's n_keep nearest centroids by cosine
+    (ties -> smallest centroid index). Pure JVM: broadcast cross join over
+    the tiny centroid table + window rank."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col(id_alias),
+        F.col("cidx").alias("cell"),
+        (_dot(F.col("v"), F.col("cv0")) / (F.col("nrm") * F.col("cn0"))).alias("csim"),
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") <= n_keep)
+        .select(id_alias, "cell")
+    )
 
 
 def ivf_topk(
@@ -128,41 +129,35 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF two-stage ANN: probe the nprobe nearest cells per query."""
-    centroids = pick_centroids(corpus, n_cells, id_col, vec_col)
-    assign = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
-        "vec_id", "__assign_id"
-    )
-    corpus_cells = corpus.join(
-        assign, corpus[id_col] == assign["__assign_id"]
-    ).select(
+    """IVF two-stage ANN: probe the nprobe nearest cells per query.
+
+    Fully deterministic and JVM-side (centroid pick, cell assignment, probe,
+    and exact re-rank are all DataFrame expressions), so the whole operator
+    is reproducible in ANSI SQL — the classic inverted-file trade of recall
+    for a corpus-scan factor of ~nprobe/n_cells.
+    """
+    cents = pick_centroids(corpus, n_cells, id_col, vec_col)
+
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm_col(vec_col).alias("cn"),
-        "cell",
-    ).where(F.col("cn") > 0)  # zero-norm guard, mirroring brute_force_topk
-
-    # per-query probe cells (small: done in one Arrow pass over queries)
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    probe_schema = StructType(
-        [StructField("query_id", LongType()), StructField("cell", IntegerType())]
+        F.col(vec_col).alias("v"),
+        _norm_col(vec_col).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    assign = _nearest_cells(c, cents, "neighbor_id", 1)
+    corpus_cells = c.join(assign, "neighbor_id").select(
+        "neighbor_id", F.col("v").alias("cv"), F.col("nrm").alias("cn"), "cell"
     )
 
-    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            nrm = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            sims = (V / nrm) @ cn.T
-            order = np.argsort(-sims, axis=1)[:, :nprobe]
-            ids = np.repeat(pdf[id_col].to_numpy(), nprobe)
-            yield pd.DataFrame({"query_id": ids, "cell": order.ravel().astype(np.int32)})
-
-    q_probe = queries.select(id_col, vec_col).mapInPandas(probes, schema=probe_schema)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm_col(vec_col).alias("qn")
-    ).where(F.col("qn") > 0)
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("v"),
+        _norm_col(vec_col).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    q_probe = _nearest_cells(q, cents, "query_id", nprobe)
+    qv = q.select("query_id", F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+
     cand = (
-        F.broadcast(q_probe.join(q, "query_id"))
+        F.broadcast(q_probe.join(qv, "query_id"))
         .join(corpus_cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(

@@ -180,6 +180,38 @@ def feature_importance(model: LRModel) -> list[tuple[str, float]]:
     return ranked
 
 
+def precision_recall_curve(y_true, scores, max_points: int | None = None) -> list[dict]:
+    """M6: PR curve points at every distinct score threshold, descending
+    (classification.py:1085-1150 analogue; same cumulative-TP formulation
+    as the m6_pr_curve contract query). Optionally subsampled evenly to
+    ``max_points`` for metrics storage."""
+    import numpy as np
+
+    y = np.asarray(y_true).astype(int)
+    s = np.asarray(scores, dtype=np.float64)
+    total_pos = int((y == 1).sum())
+    if len(s) == 0 or total_pos == 0:
+        return []
+    order = np.argsort(-s, kind="mergesort")
+    s_sorted, y_sorted = s[order], y[order]
+    cum_pos = np.cumsum(y_sorted)
+    cum_n = np.arange(1, len(s) + 1)
+    # last index of each distinct threshold (ties collapse to one point)
+    last = np.nonzero(np.diff(s_sorted, append=np.inf) != 0)[0]
+    pts = [
+        {
+            "threshold": float(s_sorted[i]),
+            "precision": float(cum_pos[i] / cum_n[i]),
+            "recall": float(cum_pos[i] / total_pos),
+        }
+        for i in last
+    ]
+    if max_points and len(pts) > max_points:
+        idx = np.linspace(0, len(pts) - 1, max_points).round().astype(int)
+        pts = [pts[i] for i in sorted(set(idx.tolist()))]
+    return pts
+
+
 def roc_auc(y_true, scores) -> float:
     """M6: exact ROC-AUC via the rank-sum (Mann-Whitney) formulation."""
     import numpy as np

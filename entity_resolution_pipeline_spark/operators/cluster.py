@@ -157,8 +157,16 @@ def assign_clusters(edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
 
 
 def cluster_size_stats(clusters: DataFrame) -> DataFrame:
-    """A10: size histogram stats over clusters."""
+    """A10: size histogram stats over clusters — full reference parity
+    (/root/reference/src/clustering.py:689-729): min/max/mean/median/std,
+    interpolated size quantiles 10/25/75/90, and the six size-group buckets
+    (1, 2-5, 6-10, 11-20, 21-50, 51+) used for reporting."""
     sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+
+    def bucket(lo, hi=None):
+        cond = (F.col("size") >= lo) if hi is None else F.col("size").between(lo, hi)
+        return F.sum(cond.cast("long"))
+
     return sizes.agg(
         F.count(F.lit(1)).alias("n_clusters"),
         F.min("size").alias("min_size"),
@@ -166,6 +174,16 @@ def cluster_size_stats(clusters: DataFrame) -> DataFrame:
         F.avg("size").alias("mean_size"),
         F.expr("percentile(size, 0.5)").alias("median_size"),
         F.stddev_pop("size").alias("std_size"),
+        F.expr("percentile(size, 0.1)").alias("size_q10"),
+        F.expr("percentile(size, 0.25)").alias("size_q25"),
+        F.expr("percentile(size, 0.75)").alias("size_q75"),
+        F.expr("percentile(size, 0.9)").alias("size_q90"),
+        bucket(1, 1).alias("g_1"),
+        bucket(2, 5).alias("g_2_5"),
+        bucket(6, 10).alias("g_6_10"),
+        bucket(11, 20).alias("g_11_20"),
+        bucket(21, 50).alias("g_21_50"),
+        bucket(51).alias("g_51_plus"),
     )
 
 

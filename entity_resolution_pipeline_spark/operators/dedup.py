@@ -3,32 +3,32 @@
 Training-data-pipeline near-duplicate detection, each as a Spark-first plan:
 
 - exact_dedup        : hash-groupBy on normalized text (one shuffle).
-- ngram_jaccard_dedup: candidate pairs by shared rare token, verified with
+- ngram_jaccard_pairs: candidate pairs blocked on each doc's globally
+                       *rarest* token (min document frequency), verified with
                        word-set Jaccard — pure JVM (array_intersect/union).
-- minhash_lsh_dedup  : shingle -> MinHash -> band-bucket equi-join -> verify
-                       with signature similarity (Arrow passes for sketches,
-                       JVM joins for candidates).
-- simhash_dedup      : 64-bit SimHash; candidates via 4x16-bit band equality
-                       (Hamming<=3 guaranteed caught by pigeonhole), verified
-                       by exact Hamming distance.
-- embedding_cosine_dedup: near-dup pairs among embedding vectors (see ann.py
+- minhash_lsh_pairs  : shingle -> md5-MinHash -> band-bucket equi-join ->
+                       signature-similarity verify; the whole sketch is JVM
+                       column expressions (whole-stage codegen, no Python).
+- simhash_pairs      : 60-bit md5-SimHash; candidates via 4x15-bit band
+                       equality (Hamming<=3 guaranteed caught by pigeonhole),
+                       verified by exact Hamming distance. Pure JVM.
+- embedding_cosine_pairs: near-dup pairs among embedding vectors (see ann.py
                        for the top-k variant).
 
+The sketches are built on the shared md5-60bit hash primitive
+(operators/util.md5_hash60), so every operator here is exactly reproducible
+in ANSI SQL — the driver's DuckDB oracle checks them value for value.
+
 Every operator returns pairs with doc_id1 < doc_id2 (canonical orientation,
-halves the shuffle) or a keep/drop assignment.
+halves the shuffle) or a keep/drop assignment. No operator persists
+intermediates: each sketch is consumed by exactly one downstream plan (the
+round-1 `persist()` leaks are gone by construction).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
-from .util import ensure_parallelism
-from ..functions.minhash import MinHasher, band_hashes, simhash64
 
 _NORM = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
 
@@ -50,141 +50,175 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.8,
-    block_token_pos: int = 0,
+    n_anchors: int = 2,
 ) -> DataFrame:
-    """Word-set Jaccard near-dup pairs, blocked on one anchor token.
+    """Word-set Jaccard near-dup pairs, blocked on each doc's RAREST tokens.
 
-    Blocking key = first token of the normalized text (cheap demo key; the
-    LSH operator below is the principled scale path). Verification is pure
-    JVM: |intersect| / |union| over distinct word arrays.
+    Anchor tokens = the ``n_anchors`` tokens with the smallest global
+    document frequency (ties -> lexicographically smallest). On web text a
+    fixed-position anchor (e.g. the first token) degenerates: a huge
+    fraction of documents lead with the same stopword, producing one O(B^2)
+    mega-block; rare tokens spread documents across many small blocks. Two
+    anchors (not one) cover the typo case where a doc's single rarest token
+    IS its distinguishing edit. Verification is pure JVM:
+    |intersect| / |union| over distinct word arrays.
     """
+    from pyspark.sql import Window
+
     norm = F.lower(_NORM(F.col(text_col)))
-    toks = F.array_distinct(F.split(norm, " "))
-    d = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.element_at(F.split(norm, " "), block_token_pos + 1).alias("bkey"),
-    ).where(F.col("bkey").isNotNull() & (F.col("bkey") != ""))
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    return (
-        a.join(b, F.col("a.bkey") == F.col("b.bkey"))
+    d = docs.select("doc_id", F.array_distinct(F.split(norm, " ")).alias("toks")).where(
+        norm != ""
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("tok")).where(F.col("tok") != "")
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
+    bkeys = (
+        tok.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_anchors)
+        .select("doc_id", F.col("tok").alias("bkey"))
+    )
+    a, b = bkeys.alias("a"), bkeys.alias("b")
+    cand = (
+        a.join(b, "bkey")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id1"),
-            F.col("b.doc_id").alias("doc_id2"),
-            (inter.cast("double") / union).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
+        .distinct()
+    )
+    d1 = d.select(F.col("doc_id").alias("doc_id1"), F.col("toks").alias("toks1"))
+    d2 = d.select(F.col("doc_id").alias("doc_id2"), F.col("toks").alias("toks2"))
+    inter = F.size(F.array_intersect(F.col("toks1"), F.col("toks2")))
+    union = F.size(F.array_union(F.col("toks1"), F.col("toks2")))
+    return (
+        cand.join(d1, "doc_id1")
+        .join(d2, "doc_id2")
+        .select("doc_id1", "doc_id2", (inter.cast("double") / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
 
-_SIG_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("sig", ArrayType(LongType())),
-        StructField("bands", ArrayType(LongType())),
-    ]
-)
+def _shingle_sql(k: int) -> str:
+    """Distinct k-char shingles of ``nt`` (lowercased normalized text)."""
+    return (
+        f"CASE WHEN nt = '' THEN cast(array() as array<string>) "
+        f"WHEN length(nt) <= {k} THEN array(nt) "
+        f"ELSE array_distinct(transform(sequence(1, length(nt) - {k} + 1), "
+        f"i -> substring(nt, i, {k}))) END"
+    )
+
+
+_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
-    num_perm: int = 128,
-    bands: int = 32,
+    num_perm: int = 32,
     shingle_k: int = 5,
-    seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, sig[], bands[]) — Arrow pass over text."""
+    """(doc_id, sig array<bigint>) — md5-based MinHash, pure JVM.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mh = MinHasher(num_perm=num_perm, seed=seed, k=shingle_k, mode="char")
-        for pdf in batches:
-            sigs, bnds = [], []
-            for t in pdf[text_col]:
-                s = mh.signature(t or "")
-                sigs.append([int(x) for x in s])
-                bnds.append([int(x) - (1 << 63) for x in band_hashes(s, bands)])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs, "bands": bnds})
-
-    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_SIG_SCHEMA)
+    sig[j] = min over distinct k-shingles s of hash60(j || '|' || s). Using a
+    fresh keyed md5 per permutation (instead of affine (a*x+b) mod p maps)
+    costs num_perm hash calls per shingle but keeps the whole sketch inside
+    whole-stage codegen AND exactly expressible in DuckDB SQL — the
+    correctness oracle replays it value for value. Docs with no shingles
+    (empty text) are dropped.
+    """
+    d = docs.select(
+        "doc_id", F.lower(_NORM(F.col(text_col))).alias("nt")
+    ).select("doc_id", F.expr(_shingle_sql(shingle_k)).alias("sh"))
+    sig = F.expr(
+        f"transform(sequence(0, {num_perm - 1}), j -> "
+        f"array_min(transform(sh, s -> "
+        + _H60.format(x="concat(cast(j as string), '|', s)")
+        + ")))"
+    )
+    return d.where(F.size("sh") > 0).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.7,
-    num_perm: int = 128,
-    bands: int = 32,
+    num_perm: int = 32,
+    bands: int = 8,
     shingle_k: int = 5,
-    seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket equi-join + signature verify.
 
-    Replays the classic shingle -> minhash -> band -> bucket-join plan; the
-    band explode turns the Jaccard θ-join into an equi-join (same trick as
-    the ER blocking stage).
+    shingle -> md5-minhash -> band hash -> bucket equi-join; the band explode
+    turns the Jaccard θ-join into an equi-join (same trick as the ER blocking
+    stage). The (small: num_perm longs) signature rides along the bucket rows
+    so the sketch is computed once and never persisted; est_jaccard =
+    matching-component fraction, verified on the joined pair.
     """
-    sigs = minhash_signatures(docs, text_col, num_perm, bands, shingle_k, seed)
-    sigs.persist()
-    buckets = sigs.select("doc_id", F.explode("bands").alias("band"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"md5(concat(cast(b as string), ':', "
+        f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"x -> cast(x as string)), ','))))"
+    )
+    banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
         a.join(b, "band")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
-        .distinct()
-    )
-    s1 = sigs.select(F.col("doc_id").alias("doc_id1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("doc_id2"), F.col("sig").alias("sig2"))
-    est = F.size(
-        F.filter(F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
-    ).cast("double") / F.size("sig1")
-    return (
-        cands.join(s1, "doc_id1")
-        .join(s2, "doc_id2")
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["doc_id1", "doc_id2"])
         .select("doc_id1", "doc_id2", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 
 
-_SIMHASH_SCHEMA = StructType(
-    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+# 60-bit SimHash: majority vote per bit over md5-hashed whitespace tokens
+# (occurrence-weighted), entirely in JVM expressions.
+_SIMHASH_SQL = (
+    "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
+    "CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs) "
+    "THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)"
 )
 
 
-def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs; 4x16-bit bands guarantee recall for ham<=3."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "simhash": [simhash64(t or "") - (1 << 63) for t in pdf[text_col]],
-                }
-            )
-
-    sh = ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_SIMHASH_SCHEMA)
-    sh.persist()
-    # 4 bands of 16 bits: any pair with hamming<=3 shares at least one band
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                (
-                    F.lit(i * (1 << 16))
-                    + F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                ).alias(f"b{i}")
-                for i in range(4)
-            ])
-        ).alias("band"),
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint) — 60-bit md5 SimHash, pure JVM."""
+    token_hashes = (
+        "CASE WHEN nt = '' THEN cast(array() as array<bigint>) "
+        "ELSE transform(split(nt, ' '), s -> " + _H60.format(x="s") + ") END"
     )
+    return (
+        docs.select("doc_id", F.lower(_NORM(F.col(text_col))).alias("nt"))
+        .select("doc_id", F.expr(token_hashes).alias("hs"))
+        .select("doc_id", F.expr(_SIMHASH_SQL).alias("simhash"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs; 4x15-bit bands guarantee recall for ham<=3
+    (pigeonhole over the 60-bit sketch), verified by exact Hamming distance.
+    """
+    sh = simhash_signatures(docs, text_col)
+    band_arr = F.expr(
+        "transform(sequence(0, 3), b -> "
+        "b * 32768 + (shiftright(simhash, 15 * b) & 32767))"
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(band_arr).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
         a.join(b, "band")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -194,10 +228,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
             F.col("b.simhash").alias("h2"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
-        cands.select("doc_id1", "doc_id2", ham.alias("hamming"))
+        .select("doc_id1", "doc_id2", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 

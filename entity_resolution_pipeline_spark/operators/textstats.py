@@ -14,10 +14,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .util import ensure_parallelism
-from ..functions.text import STOPWORDS, fingerprint, tokenize_bpeish
+from ..functions.text import STOPWORDS, tokenize_bpeish
 
 _NORM = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
 
@@ -102,24 +102,42 @@ def token_counts_bpeish(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_BPE_SCHEMA)
 
 
-_FP_SCHEMA = StructType(
-    [StructField("doc_id", LongType()), StructField("fingerprint", LongType())]
-)
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, window: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints — pure JVM expressions.
 
+    Classic winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 shape): hash
+    every k-char gram of the normalized text (md5-60bit, the shared
+    SQL-reproducible primitive), then take the minimum of each sliding
+    window of ``window`` gram hashes. Returns per doc:
 
-def fingerprints(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
-    """Rolling-hash (winnowing-min) fingerprints (Arrow pass)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "fingerprint": [
-                        fingerprint(t or "", window=window) - (1 << 62)
-                        for t in pdf[text_col]
-                    ],
-                }
-            )
-
-    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_FP_SCHEMA)
+    - ``fingerprint``  : the global min gram hash (NULL for empty text)
+    - ``n_winnowed``   : number of distinct window minima (the winnowed
+                         fingerprint-set size — proportional to doc length,
+                         robust to small edits)
+    """
+    grams = (
+        f"CASE WHEN length(nt) = 0 THEN cast(array() as array<string>) "
+        f"WHEN length(nt) <= {k} THEN array(nt) "
+        f"ELSE transform(sequence(1, length(nt) - {k} + 1), i -> substring(nt, i, {k})) END"
+    )
+    hs = (
+        "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    )
+    wmins = (
+        f"CASE WHEN size(hs) = 0 THEN cast(array() as array<bigint>) "
+        f"WHEN size(hs) <= {window} THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(1, size(hs) - {window} + 1), "
+        f"j -> array_min(slice(hs, j, {window}))) END"
+    )
+    return (
+        docs.select("doc_id", _NORM(F.col(text_col)).alias("nt"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select(
+            "doc_id",
+            F.array_min("hs").alias("fingerprint"),
+            F.size(F.array_distinct(F.expr(wmins))).cast("long").alias("n_winnowed"),
+        )
+    )

@@ -33,6 +33,7 @@ from ..operators.classify import (
     confusion,
     feature_importance,
     fit_logistic_regression,
+    precision_recall_curve,
     roc_auc,
     stratified_split,
 )
@@ -220,7 +221,11 @@ class ERPipeline:
 
     def train(self, records: DataFrame, labeled_pairs: DataFrame) -> LRModel:
         feat_df = self.featurize_labeled(records, labeled_pairs)
-        rows = feat_df.select("features", "label", "prefilter").collect()
+        rows = feat_df.select("url1", "url2", "features", "label", "prefilter").collect()
+        # collect() row order follows partition order, which is not stable
+        # across runs; the IRLS fit (via the stratified split) must see a
+        # deterministic order or the model digest changes on every rerun
+        rows.sort(key=lambda r: (r["url1"], r["url2"]))
         X = np.array([r["features"] for r in rows], dtype=np.float64)
         y = np.array([1.0 if r["label"] else 0.0 for r in rows])
 
@@ -237,6 +242,7 @@ class ERPipeline:
         self.metrics["train"] = confusion(y[tr], pred[tr])
         self.metrics["test"] = confusion(y[te], pred[te])
         self.metrics["test"]["roc_auc"] = roc_auc(y[te], p[te])
+        self.metrics["test"]["pr_curve"] = precision_recall_curve(y[te], p[te], max_points=50)
         self.metrics["feature_importance"] = feature_importance(model)[:10]
 
         self._save_model(model)

@@ -94,6 +94,28 @@ class Catalog:
         if os.path.isdir(p):
             shutil.rmtree(p)
 
+    def merge_upsert(self, df: DataFrame, name: str, key_cols: list[str]) -> None:
+        """S4: idempotent keyed upsert — the parquet-dir emulation of Iceberg
+        ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT`` (reference upserts by deterministic key,
+        /root/reference/src/indexing.py:668-702).
+
+        read-old -> anti-join on key -> union new -> stage -> atomic rename.
+        Staging to a sibling dir (not persist+overwrite) is deliberate: the
+        output must not overwrite files still being read, and the rename
+        keeps the old table intact if the write fails mid-job.
+        """
+        if not self.exists(name):
+            self.write(df, name)
+            return
+        old = self.read(name)
+        keep = old.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = keep.unionByName(df.select(*old.columns))
+        staging = name + "__staging"
+        self.write(merged, staging)
+        self.drop(name)
+        os.rename(self.path(staging), self.path(name))
+
 
 def fingerprint_df(df: DataFrame, key_cols: list[str]) -> str:
     """Order-insensitive content fingerprint: sum + xor-ish of xxhash64(keys).

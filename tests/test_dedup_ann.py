@@ -6,7 +6,6 @@ import pytest
 
 from entity_resolution_pipeline_spark.functions.text import (
     detect_language,
-    fingerprint,
     quality_scores,
 )
 from entity_resolution_pipeline_spark.operators.ann import brute_force_topk, ivf_topk
@@ -87,6 +86,21 @@ class TestDedup:
         assert all(3 not in p for p in pairs)
 
 
+class TestNoPersistLeaks:
+    def test_dedup_operators_leave_no_cached_rdds(self, spark):
+        """Round-1 leaked sigs/simhash persists; the md5-JVM rewrites must
+        leave the session's persisted-RDD registry untouched."""
+        jsc = spark.sparkContext._jsc
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
+        docs = _docs(spark)
+        exact_dedup(docs).collect()
+        ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        minhash_lsh_pairs(docs, threshold=0.6).collect()
+        simhash_pairs(docs, max_hamming=6).collect()
+        after = set(jsc.getPersistentRDDs().keySet().toArray())
+        assert after - before == set()
+
+
 class TestANN:
     def _emb(self, spark, n=80, d=8):
         rng = np.random.RandomState(7)
@@ -153,10 +167,86 @@ class TestTextStats:
             assert out[i] == detect_language(t), (i, t)
 
     def test_fingerprints_match_kernel(self, spark):
+        """JVM winnowing fingerprints == Python md5-60bit reference."""
+        import hashlib
+        import re
+
+        def ref(text, k=8, w=8):
+            nt = re.sub(r"\s+", " ", text).strip()
+            if not nt:
+                return None, 0
+            grams = [nt] if len(nt) <= k else [nt[i:i + k] for i in range(len(nt) - k + 1)]
+            hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+            wm = [min(hs)] if len(hs) <= w else [min(hs[j:j + w]) for j in range(len(hs) - w + 1)]
+            return min(hs), len(set(wm))
+
         docs = _docs(spark)
-        out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+        out = {r["doc_id"]: (r["fingerprint"], r["n_winnowed"])
+               for r in fingerprints(docs).collect()}
         for r in docs.collect():
-            assert out[r["doc_id"]] == fingerprint(r["text"]) - (1 << 62)
+            assert out[r["doc_id"]] == ref(r["text"]), r["text"][:40]
+
+    def test_simhash_matches_kernel(self, spark):
+        """JVM 60-bit SimHash == Python md5 majority-vote reference."""
+        import hashlib
+        import re
+
+        from entity_resolution_pipeline_spark.operators.dedup import simhash_signatures
+
+        def ref(text):
+            nt = re.sub(r"\s+", " ", text).strip().lower()
+            toks = nt.split(" ") if nt else []
+            if not toks:
+                return 0
+            hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+            out = 0
+            for i in range(60):
+                if 2 * sum((h >> i) & 1 for h in hs) > len(hs):
+                    out |= 1 << i
+            return out
+
+        docs = _docs(spark)
+        got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+        for r in docs.collect():
+            assert got[r["doc_id"]] == ref(r["text"]), r["text"][:40]
+
+    def test_minhash_sig_matches_kernel(self, spark):
+        """JVM md5-MinHash signature == Python reference (num_perm=8, k=5)."""
+        import hashlib
+        import re
+
+        from entity_resolution_pipeline_spark.operators.dedup import minhash_signatures
+
+        def ref(text, num_perm=8, k=5):
+            nt = re.sub(r"\s+", " ", text).strip().lower()
+            if not nt:
+                return None
+            sh = {nt} if len(nt) <= k else {nt[i:i + k] for i in range(len(nt) - k + 1)}
+            return [
+                min(int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16) for s in sh)
+                for j in range(num_perm)
+            ]
+
+        docs = _docs(spark)
+        got = {r["doc_id"]: r["sig"]
+               for r in minhash_signatures(docs, num_perm=8).collect()}
+        for r in docs.collect():
+            expect = ref(r["text"])
+            if expect is None:
+                assert r["doc_id"] not in got  # empty docs dropped
+            else:
+                assert got[r["doc_id"]] == expect, r["text"][:40]
+
+    def test_ngram_rarest_token_no_megablock(self, spark):
+        """Docs sharing a leading stopword must NOT form one O(B^2) block:
+        blocking is on the rarest token, so unrelated docs never pair."""
+        rows = [(i, f"the unique{i} text body number{i}") for i in range(60)]
+        rows += [(100, "the shared rare anchortoken alpha beta"),
+                 (101, "the shared rare anchortoken alpha beta")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {(r["doc_id1"], r["doc_id2"])
+                 for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+        assert pairs == {(100, 101)}
 
 
 class TestImpute:
@@ -178,6 +268,65 @@ class TestImpute:
         assert out[0]["url"] == "u1"
         assert out[0]["imputed_value"] == "London"
         assert out[0]["donor_count"] >= 2
+
+
+class TestImputeVectors:
+    def _fixture(self, spark):
+        records = spark.createDataFrame(
+            [
+                ("u1", "Smith, A", "h1", None),
+                ("u2", "Smith, B", "h2", "London"),
+                ("u3", "Smith, C", "h3", "Paris"),
+            ],
+            "url string, person string, composite_h string, provision string",
+        )
+        emb = spark.createDataFrame(
+            [
+                ("h1", [1.0, 0.0]),
+                ("h2", [0.8, 0.6]),
+                ("h3", [0.6, 0.8]),
+            ],
+            "hash string, embedding array<double>",
+        )
+        return records, emb
+
+    def test_weighted_average(self, spark):
+        """Hand-computed: sims (0.8, 0.6); weighted mean vector
+        = (0.8*[.8,.6] + 0.6*[.6,.8]) / 1.4; value = best donor's."""
+        from entity_resolution_pipeline_spark.operators.impute import impute_field
+
+        records, emb = self._fixture(spark)
+        out = impute_field(
+            records, emb, "provision", sim_threshold=0.1, method="weighted_average"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["url"] == "u1" and r["imputed_value"] == "London"
+        expect = [(0.8 * 0.8 + 0.6 * 0.6) / 1.4, (0.8 * 0.6 + 0.6 * 0.8) / 1.4]
+        np.testing.assert_allclose(r["imputed_vector"], expect, atol=1e-12)
+        assert r["donor_count"] == 2
+
+    def test_average(self, spark):
+        """'average': plain vector mean + modal value (tie -> lexical min)."""
+        from entity_resolution_pipeline_spark.operators.impute import impute_field
+
+        records, emb = self._fixture(spark)
+        out = impute_field(
+            records, emb, "provision", sim_threshold=0.1, method="average"
+        ).collect()
+        r = out[0]
+        assert r["imputed_value"] == "London"  # 1-1 vote tie -> lexical min
+        np.testing.assert_allclose(r["imputed_vector"], [0.7, 0.7], atol=1e-12)
+
+    def test_methods_not_aliases(self, spark):
+        from entity_resolution_pipeline_spark.operators.impute import impute_field
+
+        records, emb = self._fixture(spark)
+        va = impute_field(records, emb, "provision", sim_threshold=0.1,
+                          method="average").collect()[0]["imputed_vector"]
+        vw = impute_field(records, emb, "provision", sim_threshold=0.1,
+                          method="weighted_average").collect()[0]["imputed_vector"]
+        assert va != vw
 
 
 class TestMultimodal:

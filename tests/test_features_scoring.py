@@ -106,56 +106,58 @@ class TestFeatures:
         assert pref is None
 
 
+def _fuzz_pair_data(n=400, seed=7):
+    """Randomized PAIR_SIDE_COLS rows incl. the JVM-side person_lev /
+    pf_false columns, emulated with the same formulas with_pair_key uses."""
+    rng = np.random.RandomState(seed)
+    pools = {
+        "person": [None, "", "Smith, John, 1840-1902", "Smith, John",
+                   "smith, JOHN", "Zzzz, Qqqq", "Smith, Joan", "Li, Wu, b. 1901"],
+        "title": [None, "essays of law", "law of essays", "poems", "Essays of Law"],
+        "provision": [None, "London 1850", "Paris 1900"],
+        "subjects": [None, "law poetry", "law", "history law poetry"],
+        "composite": [None, "x a", "x b", "Smith, John X", "smith, john x"],
+    }
+    data = {}
+    for f, pool in pools.items():
+        data[f + "1"] = [pool[rng.randint(len(pool))] for _ in range(n)]
+        data[f + "2"] = [pool[rng.randint(len(pool))] for _ in range(n)]
+    for f in FIELDS:
+        eqs = []
+        for v1, v2 in zip(data[f + "1"], data[f + "2"]):
+            h1 = hash_string(v1) if v1 is not None else None
+            h2 = hash_string(v2) if v2 is not None else None
+            eqs.append(h1 is not None and h1 == h2)
+        data[f + "_eq"] = eqs
+    plev, pff = [], []
+    for v1, v2, e in zip(data["person1"], data["person2"], data["person_eq"]):
+        if v1 is None or v2 is None:
+            plev.append(None)
+            pff.append(False)
+        else:
+            lv = 1.0 if e or max(len(v1), len(v2)) == 0 else levenshtein_sim(v1, v2)
+            plev.append(lv)
+            pff.append(max(len(v1), len(v2)) == 0 or lv < 0.3)
+    data["person_lev"] = plev
+    data["pf_false"] = pff
+    return data
+
+
 class TestBatchKernel:
     def test_batch_matches_rowwise_fuzz(self):
-        """The vectorized production kernel must agree with the row-wise
-        reference implementation on randomized inputs (incl. the JVM-side
-        person_lev / pf_false columns, emulated here with the same formulas
-        with_pair_key uses)."""
+        """The vectorized batch kernel must agree with the row-wise
+        reference implementation on randomized inputs."""
         import pandas as pd
 
         from entity_resolution_pipeline_spark.operators.pairs import (
             PAIR_SIDE_COLS,
+            _BatchMemo,
             _features_batch,
         )
 
-        rng = np.random.RandomState(7)
-        pools = {
-            "person": [None, "", "Smith, John, 1840-1902", "Smith, John",
-                       "smith, JOHN", "Zzzz, Qqqq", "Smith, Joan", "Li, Wu, b. 1901"],
-            "title": [None, "essays of law", "law of essays", "poems", "Essays of Law"],
-            "provision": [None, "London 1850", "Paris 1900"],
-            "subjects": [None, "law poetry", "law", "history law poetry"],
-            "composite": [None, "x a", "x b", "Smith, John X", "smith, john x"],
-        }
         n = 400
-        data = {}
-        for f, pool in pools.items():
-            data[f + "1"] = [pool[rng.randint(len(pool))] for _ in range(n)]
-            data[f + "2"] = [pool[rng.randint(len(pool))] for _ in range(n)]
-        for f in FIELDS:
-            eqs = []
-            for v1, v2 in zip(data[f + "1"], data[f + "2"]):
-                h1 = hash_string(v1) if v1 is not None else None
-                h2 = hash_string(v2) if v2 is not None else None
-                eqs.append(h1 is not None and h1 == h2)
-            data[f + "_eq"] = eqs
-        plev, pff = [], []
-        for v1, v2, e in zip(data["person1"], data["person2"], data["person_eq"]):
-            if v1 is None or v2 is None:
-                plev.append(None)
-                pff.append(False)
-            else:
-                lv = 1.0 if e else levenshtein_sim(v1, v2)
-                if max(len(v1), len(v2)) == 0:
-                    lv = 1.0
-                plev.append(lv)
-                pff.append(max(len(v1), len(v2)) == 0 or lv < 0.3)
-        data["person_lev"] = plev
-        data["pf_false"] = pff
-        pdf = pd.DataFrame({c: data[c] for c in ["pair_key"] + PAIR_SIDE_COLS if c in data})
-
-        from entity_resolution_pipeline_spark.operators.pairs import _BatchMemo
+        data = _fuzz_pair_data(n)
+        pdf = pd.DataFrame({c: data[c] for c in PAIR_SIDE_COLS})
 
         X, pref = _features_batch(pdf, _BatchMemo())
         memo = _BatchMemo()
@@ -164,6 +166,47 @@ class TestBatchKernel:
             fv, p = compute_features_row(row, memo)
             assert p == pref[i], (i, row, p, pref[i])
             np.testing.assert_allclose(X[i], np.asarray(fv), atol=1e-12, err_msg=str((i, row)))
+
+    def test_jvm_featurize_matches_rowwise_fuzz(self, spark):
+        """The production JVM plan (dim-table joins + column expressions)
+        must agree with the row-wise reference on the same fuzzed rows."""
+        from entity_resolution_pipeline_spark.operators.pairs import (
+            PAIR_SIDE_COLS,
+            _BatchMemo,
+            featurize,
+        )
+
+        n = 300
+        data = _fuzz_pair_data(n, seed=11)
+        rows = [
+            tuple([str(i)] + [data[c][i] for c in PAIR_SIDE_COLS]) for i in range(n)
+        ]
+        schema = (
+            "pair_key string, "
+            + ", ".join(f"{f}{s} string" for s in ("1", "2") for f in FIELDS)
+            + ", "
+            + ", ".join(f"{f}_eq boolean" for f in FIELDS)
+            + ", person_lev double, pf_false boolean"
+        )
+        # schema order must match PAIR_SIDE_COLS construction
+        cols = ["pair_key"] + PAIR_SIDE_COLS
+        schema = "pair_key string, " + ", ".join(
+            c + (" string" if c.endswith(("1", "2")) and c != "person_lev" else
+                 " double" if c == "person_lev" else " boolean")
+            for c in PAIR_SIDE_COLS
+        )
+        sdf = spark.createDataFrame(rows, schema)
+        assert sdf.columns == cols
+        got = {r["pair_key"]: r for r in featurize(sdf).collect()}
+        memo = _BatchMemo()
+        for i in range(n):
+            row = {c: data[c][i] for c in PAIR_SIDE_COLS}
+            fv, p = compute_features_row(row, memo)
+            g = got[str(i)]
+            assert g["prefilter"] == p, (i, row)
+            np.testing.assert_allclose(
+                np.asarray(g["features"]), np.asarray(fv), atol=1e-12, err_msg=str((i, row))
+            )
 
 
 class TestClassifier:
@@ -240,6 +283,24 @@ class TestClassifierExtras:
         assert roc_auc([0, 1], [0.5, 0.5]) == 0.5
         # degenerate
         assert roc_auc([1, 1], [0.2, 0.9]) == 0.5
+
+    def test_precision_recall_curve(self):
+        from entity_resolution_pipeline_spark.operators.classify import (
+            precision_recall_curve,
+        )
+
+        pts = precision_recall_curve([1, 0, 1, 1], [0.9, 0.8, 0.7, 0.3])
+        assert [round(p["threshold"], 2) for p in pts] == [0.9, 0.8, 0.7, 0.3]
+        assert [p["precision"] for p in pts] == [1.0, 0.5, 2 / 3, 0.75]
+        assert [p["recall"] for p in pts] == pytest.approx([1 / 3, 1 / 3, 2 / 3, 1.0])
+        # ties collapse to one point (cumulative past all tied rows)
+        pts = precision_recall_curve([1, 0], [0.5, 0.5])
+        assert len(pts) == 1 and pts[0]["precision"] == 0.5 and pts[0]["recall"] == 1.0
+        # subsampling keeps ends
+        many = precision_recall_curve(
+            [1, 0] * 50, [i / 100 for i in range(100)], max_points=10
+        )
+        assert len(many) <= 10
 
     def test_single_class_raises(self):
         X = np.random.RandomState(0).randn(20, 3)

@@ -141,6 +141,24 @@ def test_csv_export(pipeline_run, tmp_path_factory):
     assert back.where("entity_id IS NULL OR cluster_id IS NULL").count() == 0
 
 
+def test_merge_upsert(spark, tmp_path_factory):
+    """S4: keyed upsert — matched keys replaced, unmatched kept, idempotent."""
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("merge_wh")))
+    cat.merge_upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+                     "t", ["k"])
+    cat.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+                     "t", ["k"])
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # idempotent: replaying the same batch changes nothing
+    cat.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+                     "t", ["k"])
+    got2 = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got2 == got
+
+
 def test_table_diff(pipeline_run, spark):
     from entity_resolution_pipeline_spark.sources.catalog import table_diff
 

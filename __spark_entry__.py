@@ -28,6 +28,13 @@ from entity_resolution_pipeline_spark.operators import textstats as _ts
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+from entity_resolution_pipeline_spark.operators.dedup import minhash_perm_coeffs
+
+_MH_A, _MH_B = (
+    "[" + ",".join(str(x) + "::BIGINT" for x in c) + "]"
+    for c in minhash_perm_coeffs(32)
+)
+
 _EN = sorted(
     __import__(
         "entity_resolution_pipeline_spark.functions.text", fromlist=["STOPWORDS"]
@@ -959,7 +966,7 @@ def oracle_sql() -> dict[str, str]:
         # md5-rebased sketches: DuckDB replays the identical sketch via the
         # shared 60-bit md5 primitive ('0x'||substr(md5(x),1,15))::BIGINT
         "dedup_minhash_lsh": f"""
-            WITH d0 AS (SELECT doc_id, lower({norm}) AS nt FROM documents),
+            WITH d0 AS (SELECT doc_id, substr(lower({norm}), 1, 2048) AS nt FROM documents),
             d AS (
               SELECT doc_id,
                      CASE WHEN nt = '' THEN []::VARCHAR[]
@@ -968,12 +975,17 @@ def oracle_sql() -> dict[str, str]:
                                range(1, length(nt) - 5 + 2),
                                i -> substr(nt, i, 5))) END AS sh
               FROM d0),
+            hh AS (
+              SELECT doc_id,
+                     list_transform(sh, sg ->
+                       ('0x' || substr(md5(sg), 1, 7))::BIGINT) AS hs
+              FROM d WHERE len(sh) > 0),
             s AS (
               SELECT doc_id,
-                     list_transform(range(0, 32), j ->
-                       list_min(list_transform(sh, sg ->
-                         ('0x' || substr(md5(concat(j::VARCHAR, '|', sg)), 1, 15))::BIGINT))) AS sig
-              FROM d WHERE len(sh) > 0),
+                     list_transform(range(1, 33), j ->
+                       list_min(list_transform(hs, h ->
+                         ({_MH_A}[j] * h + {_MH_B}[j]) % 2147483647))) AS sig
+              FROM hh),
             b AS (
               SELECT doc_id, sig,
                      unnest(list_transform(range(0, 8), bb ->

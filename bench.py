@@ -195,17 +195,54 @@ def _cpu_idle_fracs(interval: float = 0.6) -> dict[int, float]:
     }
 
 
-def _steal_jiffies() -> int:
+def _steal_per_cpu() -> dict[int, int]:
+    """Per-CPU steal jiffies (field 8 of each cpuN line in /proc/stat)."""
+    out = {}
     with open("/proc/stat") as f:
-        return int(f.readline().split()[8])  # aggregate steal
+        for line in f:
+            if line.startswith("cpu") and line[3:4].isdigit():
+                p = line.split()
+                out[int(p[0][3:])] = int(p[8])
+    return out
+
+
+def _repin_tree(cpus: set[int]) -> None:
+    """Re-pin this process AND every descendant, per-thread (a running JVM
+    keeps its threads' old affinity unless each tid is re-pinned)."""
+    children: dict[int, list[int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                ppid = int(f.read().split(") ")[-1].split()[1])
+            children.setdefault(ppid, []).append(int(p))
+        except OSError:
+            continue
+    todo, seen = [os.getpid()], set()
+    while todo:
+        pid = todo.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        try:
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                try:
+                    os.sched_setaffinity(int(tid), cpus)
+                except OSError:
+                    pass
+        except OSError:
+            pass
+        todo.extend(children.get(pid, []))
 
 
 def scale_worker(cores, cpu_list, tuples_dir, model_path):
     """Pinned measurement worker. Protocol on stdin/stdout:
 
     emits ``READY <n_tuples> <warmup_wall>`` after caching + one warm-up
-    pass, then for each ``RUN <passes>`` line runs that many scoring passes
-    and emits ``WALL <seconds>``; exits on ``EXIT``.
+    pass; for each ``RUN <passes> [cpu_list]`` line re-pins the whole
+    process tree to cpu_list (dodging co-tenant bursts), runs the scoring
+    passes and emits ``WALL <seconds>``; exits on ``EXIT``.
     """
     cpus = {int(c) for c in cpu_list.split(",")}
     os.sched_setaffinity(0, cpus)  # inherited by the JVM + python workers
@@ -230,6 +267,8 @@ def scale_worker(cores, cpu_list, tuples_dir, model_path):
         if not cmd or cmd[0] == "EXIT":
             break
         passes = int(cmd[1]) if len(cmd) > 1 else 1
+        if len(cmd) > 2:
+            _repin_tree({int(c) for c in cmd[2].split(",")})
         t0 = time.time()
         for _ in range(passes):
             score_tuples_job(spark, dt, model_dict)
@@ -298,12 +337,15 @@ def main():
         sp2.stop()
 
         # pin each level to the most-idle CPUs; the two levels get DISJOINT
-        # sets so an idle-but-alive sibling JVM never contends.
-        idle = _cpu_idle_fracs()
-        ranked = [c for c, _ in sorted(idle.items(), key=lambda kv: -kv[1])]
-        cpus8, cpus2 = ranked[:8], ranked[8:10]
-        _log(f"scale cpu sets: 8-core={sorted(cpus8)} 2-core={sorted(cpus2)} "
-             f"(idle fracs: {[round(idle[c], 2) for c in ranked[:12]]})")
+        # sets so an idle-but-alive sibling JVM never contends. Sets are
+        # RE-PICKED before every rep (the co-tenant moves around).
+        def pick_sets():
+            idle = _cpu_idle_fracs(0.4)
+            ranked = [c for c, _ in sorted(idle.items(), key=lambda kv: -kv[1])]
+            return ranked[:8], ranked[8:10]
+
+        cpus8, cpus2 = pick_sets()
+        _log(f"scale cpu sets: 8-core={sorted(cpus8)} 2-core={sorted(cpus2)}")
 
         def start(cores, cpus):
             return subprocess.Popen(
@@ -322,13 +364,21 @@ def main():
                     return int(n), float(warm)
             raise RuntimeError("scale worker died before READY")
 
-        def run_rep(p, passes):
-            s0 = _steal_jiffies()
-            p.stdin.write(f"RUN {passes}\n")
+        def run_rep(p, passes, cpus):
+            """One timed rep on a freshly-picked CPU set; returns
+            (wall_s, in_set_steal_fraction)."""
+            s0 = _steal_per_cpu()
+            t0 = time.time()
+            p.stdin.write(f"RUN {passes} {','.join(str(c) for c in cpus)}\n")
             p.stdin.flush()
             for line in p.stdout:
                 if line.startswith("WALL"):
-                    return float(line.split()[1]), _steal_jiffies() - s0
+                    wall = float(line.split()[1])
+                    s1 = _steal_per_cpu()
+                    stolen = sum(s1[c] - s0[c] for c in cpus)
+                    # jiffies are 1/100 s: fraction of the set's cpu-time lost
+                    frac = stolen / max(1.0, (time.time() - t0) * 100 * len(cpus))
+                    return wall, frac
             raise RuntimeError("scale worker died mid-rep")
 
         def stop(p):
@@ -348,16 +398,20 @@ def main():
         passes = max(1, min(8, round(target / max(warm2, 0.5))))
         _log(f"scale warmups: 2-core {warm2:.1f}s, 8-core {warm8:.1f}s -> passes={passes}")
 
-        # interleaved reps until the two fastest walls per level agree within
-        # 8% (>= 3, <= max_reps): co-tenant bursts inflate individual reps,
-        # so the per-level estimate is the MIN wall — the standard
-        # least-interference estimator (cf. python timeit docs) — and the
-        # convergence criterion proves the min is reproducible, not a fluke.
-        # All walls + medians + per-rep steal deltas ship in the JSON.
+        # interleaved reps until each level has >= min_reps ACCEPTED walls
+        # and its two fastest agree within 8%. A rep is rejected when the
+        # co-tenant stole > 3% of the pinned set's cpu-time during it (per-
+        # CPU steal attribution) — before each rep the sets are re-picked
+        # from the currently-idlest CPUs and the worker re-pins its whole
+        # tree, so measurements dodge bursts instead of averaging them. The
+        # per-level estimate is the MIN accepted wall (timeit-style least-
+        # interference estimator); every wall + steal fraction ships in the
+        # JSON for transparency.
         min_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-        max_reps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "6"))
-        walls = {2: [], 8: []}
-        steals = {2: [], 8: []}
+        max_reps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "9"))
+        steal_cap = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CAP", "0.03"))
+        walls = {2: [], 8: []}        # accepted
+        all_reps = {2: [], 8: []}     # every rep: (wall, steal_frac, ok)
 
         def converged(ws):
             if len(ws) < min_reps:
@@ -371,20 +425,29 @@ def main():
                 if converged(walls[cores]):
                     continue
                 done = False
-                wall, st = run_rep(w, passes)
-                walls[cores].append(round(wall, 3))
-                steals[cores].append(st)
-                _log(f"scale rep {r + 1} {cores}c: {wall:.2f}s steal_jf={st}")
+                c8, c2 = pick_sets()
+                cpus = c2 if cores == 2 else c8
+                wall, sfrac = run_rep(w, passes, cpus)
+                ok = sfrac <= steal_cap
+                all_reps[cores].append((round(wall, 3), round(sfrac, 4), ok))
+                if ok:
+                    walls[cores].append(round(wall, 3))
+                _log(f"scale rep {r + 1} {cores}c: {wall:.2f}s "
+                     f"steal={sfrac:.1%} {'ok' if ok else 'REJECTED'}")
             if done:
                 break
+        for cores in (2, 8):
+            if not walls[cores]:  # co-tenant never let up: fall back to all
+                walls[cores] = [w for w, _, _ in all_reps[cores]]
         stop(w2)
         stop(w8)
 
         # informational 32-core point (unpinned: co-tenant makes >23
         # dedicated CPUs unavailable; not the criterion pair)
-        w32 = start(32, list(range(os.cpu_count() or 32)))
+        all_cpus = list(range(os.cpu_count() or 32))
+        w32 = start(32, all_cpus)
         _, warm32 = wait_ready(w32)
-        wall32, _ = run_rep(w32, passes)
+        wall32, _ = run_rep(w32, passes, all_cpus)
         stop(w32)
 
         best = {c: min(ws) for c, ws in walls.items()}
@@ -397,11 +460,12 @@ def main():
         scaling = {
             "tuples": n_tuples,
             "passes": passes,
-            "walls_s": {"2": walls[2], "8": walls[8], "32": [round(wall32, 3)]},
+            "accepted_walls_s": {"2": walls[2], "8": walls[8]},
+            "all_reps_wall_steal_ok": {
+                "2": all_reps[2], "8": all_reps[8], "32": [(round(wall32, 3), None, True)],
+            },
             "best_wall_s": {"2": best[2], "8": best[8], "32": round(wall32, 3)},
             "median_wall_s": {"2": med[2], "8": med[8], "32": round(wall32, 3)},
-            "steal_jiffies": {"2": steals[2], "8": steals[8]},
-            "cpu_sets": {"2": sorted(cpus2), "8": sorted(cpus8)},
             "tuples_per_sec": {
                 "2": round(thr(best[2]), 1),
                 "8": round(thr(best[8]), 1),
@@ -412,13 +476,14 @@ def main():
             "efficiency_8_to_32": round(thr(wall32) / (4 * thr(best[8])), 4),
             "note": "criterion pair N=2 -> 4N=8: each level's whole process "
                     "tree (JVM+GC+python workers) is sched_setaffinity-pinned "
-                    "to that many of the most-idle CPUs (disjoint sets); reps "
-                    "interleaved 2,8,2,8,... until the two fastest walls per "
-                    "level agree within 8%; estimate = min wall "
-                    "(least-interference, timeit-style; medians + per-rep "
-                    "/proc/stat steal deltas reported alongside). 8->32 is "
-                    "informational only (unpinned; a co-tenant holds ~9 of "
-                    "32 CPUs)",
+                    "to N of the momentarily-idlest CPUs, RE-PICKED and "
+                    "re-pinned per-thread before every rep (the co-tenant "
+                    "moves); reps interleave 2,8,2,8,...; a rep is rejected "
+                    "when /proc/stat shows >3% of the pinned set's cpu-time "
+                    "stolen during it; estimate = min accepted wall "
+                    "(timeit-style least-interference; all walls + steal "
+                    "fractions reported). 8->32 is informational only "
+                    "(unpinned; a co-tenant holds ~9 of 32 CPUs)",
         }
 
     print(json.dumps({

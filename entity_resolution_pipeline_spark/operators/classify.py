@@ -89,6 +89,35 @@ def stratified_split(
     return np.sort(np.concatenate(train_idx)), np.sort(np.concatenate(test_idx))
 
 
+def balance_classes(
+    X: np.ndarray, y: np.ndarray, seed: int = 42, max_ratio: float = 10.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """M3 guard-rail (classification.py:415-471): make degenerate label sets
+    trainable. Single class -> synthesize <=100 samples of the missing class
+    by jittering existing rows with N(0, 0.1) noise; imbalance ratio > 10 ->
+    upsample the minority class with replacement to majority size.
+    Deterministic (seeded rng); a no-op on healthy label sets.
+    """
+    rng = np.random.RandomState(seed)
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    uniq, counts = np.unique(y, return_counts=True)
+    if len(uniq) == 1:
+        missing = 1.0 if uniq[0] == 0 else 0.0
+        k = min(len(X), 100)
+        idx = rng.choice(len(X), k, replace=True)
+        synth = X[idx] + rng.normal(0, 0.1, (k, X.shape[1]))
+        return np.vstack([X, synth]), np.hstack([y, np.full(k, missing)])
+    if counts.max() / counts.min() > max_ratio:
+        minority = uniq[np.argmin(counts)]
+        majority = uniq[np.argmax(counts)]
+        mi = np.where(y == minority)[0]
+        ma = np.where(y == majority)[0]
+        up = rng.choice(mi, size=len(ma), replace=True)
+        return np.vstack([X[ma], X[up]]), np.hstack([y[ma], y[up]])
+    return X, y
+
+
 def fit_logistic_regression(
     X: np.ndarray,
     y: np.ndarray,

@@ -108,6 +108,34 @@ def _shingle_sql(k: int) -> str:
 
 
 _H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+# 28-bit base hash for MinHash: one md5 per shingle, then cheap affine
+# permutations (a*h+b) mod p — products stay < 2^62 (BIGINT-safe in Spark
+# AND DuckDB, so the oracle replays the identical sketch)
+_H28 = "cast(conv(substring(md5({x}), 1, 7), 16, 10) as bigint)"
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation coefficients (shared with the SQL
+    oracle and the Python reference kernel in tests)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE31, size=num_perm).tolist()
+    b = rng.randint(0, _MERSENNE31, size=num_perm).tolist()
+    return a, b
+
+
+def _minhash_sig_sql(num_perm: int) -> str:
+    """sig[j] = min over shingle hashes h of (a_j*h + b_j) mod (2^31-1),
+    over a column ``hs`` of 28-bit md5 shingle hashes."""
+    a, b = minhash_perm_coeffs(num_perm)
+    a_lit = "array(" + ",".join(f"cast({x} as bigint)" for x in a) + ")"
+    b_lit = "array(" + ",".join(f"cast({x} as bigint)" for x in b) + ")"
+    return (
+        f"transform(sequence(1, {num_perm}), j -> "
+        f"array_min(transform(hs, h -> ({a_lit}[j - 1] * h + {b_lit}[j - 1]) % {_MERSENNE31})))"
+    )
 
 
 def minhash_signatures(
@@ -115,26 +143,24 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 32,
     shingle_k: int = 5,
+    max_chars: int = 2048,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) — md5-based MinHash, pure JVM.
 
-    sig[j] = min over distinct k-shingles s of hash60(j || '|' || s). Using a
-    fresh keyed md5 per permutation (instead of affine (a*x+b) mod p maps)
-    costs num_perm hash calls per shingle but keeps the whole sketch inside
-    whole-stage codegen AND exactly expressible in DuckDB SQL — the
-    correctness oracle replays it value for value. Docs with no shingles
-    (empty text) are dropped.
+    One md5 per distinct k-shingle (28-bit base hash), then ``num_perm``
+    affine permutations (a*h+b) mod (2^31-1) with literal coefficients —
+    BIGINT-safe in Spark and DuckDB, so the correctness oracle replays the
+    sketch value for value. The sketch region is capped at ``max_chars``
+    normalized chars (bounded per-doc cost at 100 TB). Docs with no
+    shingles (empty text) are dropped.
     """
     d = docs.select(
-        "doc_id", F.lower(_NORM(F.col(text_col))).alias("nt")
+        "doc_id",
+        F.substring(F.lower(_NORM(F.col(text_col))), 1, max_chars).alias("nt"),
     ).select("doc_id", F.expr(_shingle_sql(shingle_k)).alias("sh"))
-    sig = F.expr(
-        f"transform(sequence(0, {num_perm - 1}), j -> "
-        f"array_min(transform(sh, s -> "
-        + _H60.format(x="concat(cast(j as string), '|', s)")
-        + ")))"
-    )
-    return d.where(F.size("sh") > 0).select("doc_id", sig.alias("sig"))
+    hs = F.expr("transform(sh, s -> " + _H28.format(x="s") + ")")
+    d = d.where(F.size("sh") > 0).select("doc_id", hs.alias("hs"))
+    return d.select("doc_id", F.expr(_minhash_sig_sql(num_perm)).alias("sig"))
 
 
 def minhash_lsh_pairs(

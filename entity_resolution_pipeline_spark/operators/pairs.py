@@ -36,6 +36,7 @@ Scale notes (round-2 plan shape):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -596,27 +597,38 @@ def prefilter_column() -> Column:
     )
 
 
-def featurize(df: DataFrame) -> DataFrame:
+def featurize(df: DataFrame, strategy: str | None = None) -> DataFrame:
     """pairs-with-fields -> (pair_key, features array, prefilter).
 
-    Plan shape: per-field distinct-string-pair Arrow kernels feed tiny sim
-    dimensions; assembly is pure JVM (whole-stage codegen)."""
+    Same two strategies as ``score`` (value-identical, pytest-pinned):
+    ``dims`` joins per-field distinct-string-pair sim dimensions and
+    assembles in JVM; ``arrow`` is one mapInPandas pass (default — fewer
+    shuffles, and the training sets this feeds are small)."""
+    strategy = strategy or os.environ.get("SPARK_GRAFT_SCORE_STRATEGY", "arrow")
+    if strategy == "dims":
+        src = df.select("pair_key", *PAIR_SIDE_COLS)
+        wide = _attach_sim_dims(src)
+        cols = feature_columns()
+        feats = F.array(*[cols[n].cast("double") for n in FEATURE_NAMES])
+        return wide.select(
+            "pair_key", feats.alias("features"), prefilter_column().alias("prefilter")
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = _BatchMemo()
+        for pdf in batches:
+            X, pref = _features_batch(pdf, memo)
+            yield pd.DataFrame(
+                {"pair_key": pdf["pair_key"], "features": list(X), "prefilter": pref}
+            )
+
     src = df.select("pair_key", *PAIR_SIDE_COLS)
-    wide = _attach_sim_dims(src)
-    cols = feature_columns()
-    feats = F.array(*[cols[n].cast("double") for n in FEATURE_NAMES])
-    return wide.select(
-        "pair_key", feats.alias("features"), prefilter_column().alias("prefilter")
-    )
+    return src.mapInPandas(run, schema=FEATURIZE_SCHEMA)
 
 
-def score(df: DataFrame, model_dict: dict) -> DataFrame:
-    """pairs-with-fields -> (pair_key, confidence, prefilter).
-
-    confidence = 1.0 / 0.0 for prefiltered pairs, else sigmoid(LR) — the
-    z-scored linear model is inlined as a JVM expression (M5: one pass, no
-    Python in the scoring hot path; the Python kernels run only over
-    distinct string pairs upstream)."""
+def score_dims(df: DataFrame, model_dict: dict) -> DataFrame:
+    """Dim-table strategy: Python kernels over globally-distinct string
+    pairs, everything else JVM (see module docstring)."""
     model = LRModel.from_dict(model_dict)
     src = df.select("pair_key", *PAIR_SIDE_COLS)
     wide = _attach_sim_dims(src)
@@ -636,6 +648,50 @@ def score(df: DataFrame, model_dict: dict) -> DataFrame:
     return wide.select(
         "pair_key", conf.alias("confidence"), pref.alias("prefilter")
     )
+
+
+_SCORE_SCHEMA_STR = "pair_key string, confidence double, prefilter string"
+
+
+def score_arrow(df: DataFrame, model_dict: dict) -> DataFrame:
+    """Arrow-batch strategy: one mapInPandas pass over pair rows using the
+    vectorized batch kernel (per-partition memo dicts dedupe string work).
+    No extra shuffles/joins — wins when the distinct string-pair dims are
+    NOT much smaller than the pair rows themselves."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = LRModel.from_dict(model_dict)
+        memo = _BatchMemo()
+        for pdf in batches:
+            X, pref = _features_batch(pdf, memo)
+            p = model.predict_proba(X)
+            conf = np.where(pref == "true", 1.0, np.where(pref == "false", 0.0, p))
+            yield pd.DataFrame(
+                {"pair_key": pdf["pair_key"], "confidence": conf, "prefilter": pref}
+            )
+
+    src = df.select("pair_key", *PAIR_SIDE_COLS)
+    return src.mapInPandas(run, schema=_SCORE_SCHEMA_STR)
+
+
+def score(df: DataFrame, model_dict: dict, strategy: str | None = None) -> DataFrame:
+    """pairs-with-fields -> (pair_key, confidence, prefilter).
+
+    confidence = 1.0 / 0.0 for prefiltered pairs, else sigmoid(LR). Two
+    physically different but value-identical plans (pytest pins them to the
+    same row-wise reference):
+
+    - ``dims``  : Python only over globally-distinct string pairs; feature
+      assembly + sigmoid in JVM. Scales with unique field-value variants —
+      the 100 TB shape when variants << pairs.
+    - ``arrow`` : single mapInPandas pass, per-partition memo dedupe. Fewer
+      shuffles; wins when pair rows are already near-distinct (measured
+      faster at bench scale, see BENCH/BASELINE.md round-2 A/B).
+    """
+    strategy = strategy or os.environ.get("SPARK_GRAFT_SCORE_STRATEGY", "arrow")
+    if strategy == "dims":
+        return score_dims(df, model_dict)
+    return score_arrow(df, model_dict)
 
 
 def attach_pair_fields(pairs: DataFrame, records: DataFrame) -> DataFrame:

@@ -30,6 +30,7 @@ from ..operators import cluster as C  # noqa: N812
 from ..operators import pairs as P  # noqa: N812
 from ..operators.classify import (
     LRModel,
+    balance_classes,
     confusion,
     feature_importance,
     fit_logistic_regression,
@@ -230,8 +231,13 @@ class ERPipeline:
         y = np.array([1.0 if r["label"] else 0.0 for r in rows])
 
         tr, te = stratified_split(y, self.config.train_frac, self.config.seed)
+        # M3 guard-rail: degenerate label sets (single class / >10x skew) in
+        # the train split are balanced before fitting (classification.py:
+        # 415-471); evaluation below stays on the original, unbalanced rows
+        # so the prefilter overrides remain row-aligned.
+        X_fit, y_fit = balance_classes(X[tr], y[tr], seed=self.config.seed)
         model = fit_logistic_regression(
-            X[tr], y[tr], c=1.0, balanced=True, feature_names=P.FEATURE_NAMES
+            X_fit, y_fit, c=1.0, balanced=True, feature_names=P.FEATURE_NAMES
         )
 
         # test-split metrics with prefilter overrides (M6 semantics)

@@ -58,6 +58,56 @@ def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
 
 
+def dedup_stream(docs: DataFrame, text_col: str = "text", ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first-seen row per normalized-text hash wins.
+
+    The training-data ingest shape: state is keyed on the 8-byte
+    xxhash64(normalized text) — never the document bytes — and bounded by
+    the event-time watermark (``dropDuplicatesWithinWatermark``), so state
+    size ~ distinct keys per watermark horizon, not corpus size. Batch
+    inputs degrade to a plain dropDuplicates (same key).
+    """
+    key = F.xxhash64(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    keyed = docs.withColumn("tkey", key)
+    if docs.isStreaming:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["tkey"])
+    return keyed.dropDuplicates(["tkey"])
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user event count + value sum, emitted on every update.
+
+    The §2.11 'custom stateful operator' surface: arbitrary per-key Python
+    state with Arrow-batched input — the escape hatch for semantics windowed
+    aggregates can't express (running totals, sessionization, model state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, s = state.get
+        else:
+            n, s = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_catchup(spark: SparkSession, src_dir: str, out_dir: str,
                 checkpoint_dir: str, window: str = "1 hour",
                 watermark: str = "2 hours") -> None:

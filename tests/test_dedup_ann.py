@@ -215,15 +215,22 @@ class TestTextStats:
         import hashlib
         import re
 
-        from entity_resolution_pipeline_spark.operators.dedup import minhash_signatures
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            _MERSENNE31,
+            minhash_perm_coeffs,
+            minhash_signatures,
+        )
+
+        A, B = minhash_perm_coeffs(8)
 
         def ref(text, num_perm=8, k=5):
-            nt = re.sub(r"\s+", " ", text).strip().lower()
+            nt = re.sub(r"\s+", " ", text).strip().lower()[:2048]
             if not nt:
                 return None
             sh = {nt} if len(nt) <= k else {nt[i:i + k] for i in range(len(nt) - k + 1)}
+            hs = [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in sh]
             return [
-                min(int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16) for s in sh)
+                min((A[j] * h + B[j]) % _MERSENNE31 for h in hs)
                 for j in range(num_perm)
             ]
 

@@ -197,16 +197,18 @@ class TestBatchKernel:
         )
         sdf = spark.createDataFrame(rows, schema)
         assert sdf.columns == cols
-        got = {r["pair_key"]: r for r in featurize(sdf).collect()}
-        memo = _BatchMemo()
-        for i in range(n):
-            row = {c: data[c][i] for c in PAIR_SIDE_COLS}
-            fv, p = compute_features_row(row, memo)
-            g = got[str(i)]
-            assert g["prefilter"] == p, (i, row)
-            np.testing.assert_allclose(
-                np.asarray(g["features"]), np.asarray(fv), atol=1e-12, err_msg=str((i, row))
-            )
+        for strategy in ("dims", "arrow"):
+            got = {r["pair_key"]: r for r in featurize(sdf, strategy=strategy).collect()}
+            memo = _BatchMemo()
+            for i in range(n):
+                row = {c: data[c][i] for c in PAIR_SIDE_COLS}
+                fv, p = compute_features_row(row, memo)
+                g = got[str(i)]
+                assert g["prefilter"] == p, (strategy, i, row)
+                np.testing.assert_allclose(
+                    np.asarray(g["features"]), np.asarray(fv), atol=1e-12,
+                    err_msg=str((strategy, i, row)),
+                )
 
 
 class TestClassifier:
@@ -307,3 +309,31 @@ class TestClassifierExtras:
         y = np.ones(20)
         with pytest.raises(ValueError, match="single class"):
             fit_logistic_regression(X, y)
+
+    def test_balance_classes(self):
+        """M3: single-class -> synthetic missing class; >10x skew ->
+        minority upsampled to majority size; healthy sets untouched."""
+        from entity_resolution_pipeline_spark.operators.classify import (
+            balance_classes,
+        )
+
+        rng = np.random.RandomState(0)
+        X = rng.randn(30, 4)
+        # single class: adds <=100 jittered rows of the missing class
+        Xb, yb = balance_classes(X, np.ones(30))
+        assert (yb == 0).sum() == 30 and (yb == 1).sum() == 30
+        assert np.isfinite(Xb).all()
+        # deterministic
+        Xb2, _ = balance_classes(X, np.ones(30))
+        assert np.allclose(Xb, Xb2)
+        # fit succeeds on the balanced output
+        m = fit_logistic_regression(Xb, yb)
+        assert np.isfinite(m.weights).all()
+        # >10x imbalance: minority upsampled to majority count
+        y = np.array([0.0] * 28 + [1.0] * 2)
+        Xb, yb = balance_classes(X, y)
+        assert (yb == 1).sum() == (yb == 0).sum() == 28
+        # healthy: no-op
+        y = np.array([0.0] * 20 + [1.0] * 10)
+        Xb, yb = balance_classes(X, y)
+        assert Xb.shape == X.shape and len(yb) == 30

@@ -34,6 +34,73 @@ def test_availablenow_catchup_matches_batch(spark, tmp_warehouse):
     assert len(g) > 0
 
 
+def test_stream_dedup_matches_batch(spark, tmp_warehouse):
+    """Streaming exact dedup (state within watermark) keeps one row per
+    distinct normalized text — same distinct keys as the batch path."""
+    from entity_resolution_pipeline_spark.streaming.ingest import dedup_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", F.col("props").alias("text")
+    )
+    src = os.path.join(tmp_warehouse, "dsrc")
+    out = os.path.join(tmp_warehouse, "dout")
+    ckpt = os.path.join(tmp_warehouse, "dckpt")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, text string"
+    ).parquet(src)
+    q = (
+        dedup_stream(stream).writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch_keys = {r["tkey"] for r in dedup_stream(events).select("tkey").collect()}
+    got_keys = [r["tkey"] for r in got.select("tkey").collect()]
+    assert sorted(got_keys) == sorted(set(got_keys)), "stream emitted a dup key"
+    assert set(got_keys) == batch_keys
+
+
+def test_stateful_user_totals(spark, tmp_warehouse):
+    """applyInPandasWithState running totals: after one availableNow batch,
+    the latest emitted row per user equals the batch aggregate."""
+    from entity_resolution_pipeline_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        stateful_user_totals,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("user_id") < 20
+    )
+    src = os.path.join(tmp_warehouse, "ssrc")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        stateful_user_totals(stream).writeStream.outputMode("update")
+        .format("memory").queryName("user_totals")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # availableNow may process several micro-batches; the running total is
+    # monotone in n_events, so the latest emission per user is its max
+    got = {}
+    for r in spark.table("user_totals").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+    expect = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_catchup_is_incremental(spark, tmp_warehouse):
     """A second availableNow run over the same files must add nothing."""
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

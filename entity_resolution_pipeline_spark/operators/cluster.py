@@ -249,6 +249,162 @@ def label_propagation(
     return labels
 
 
+def hierarchical_clusters(
+    edges: DataFrame,
+    threshold: float = 0.5,
+    max_component: int = 500,
+) -> DataFrame:
+    """G4 alternate (clustering.py:443-526): average-linkage agglomerative
+    clustering, cut at distance 1-threshold.
+
+    Spark plan mirrors the reference's own decomposition: connected
+    components first, then each component clustered INDEPENDENTLY — an
+    applyInPandas per component (numpy Lance-Williams average linkage;
+    scipy is unavailable here). Components of <= 2 nodes pass through;
+    components larger than ``max_component`` are kept whole (the reference
+    falls back similarly at 1000 nodes). Returns (node, cluster_id) with
+    cluster_id = min node of the subcluster.
+    """
+    import pandas as pd
+
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    cc = cc.join(sizes, "component")
+
+    passthrough = cc.where(
+        (F.col("csize") <= 2) | (F.col("csize") > max_component)
+    ).select("node", F.col("component").alias("cluster_id"))
+
+    todo = cc.where((F.col("csize") > 2) & (F.col("csize") <= max_component))
+    sym = edges.select("src", "dst", "weight")
+    comp_edges = (
+        sym.join(todo.select(F.col("node").alias("src"), "component"), "src")
+        .select("component", "src", "dst", "weight")
+    )
+
+    cut = 1.0 - threshold
+
+    def run_fixed(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        n = len(nodes)
+        idx = {u: i for i, u in enumerate(nodes)}
+        D = np.ones((n, n))
+        np.fill_diagonal(D, 0.0)
+        for s, d, w in zip(pdf["src"], pdf["dst"], pdf["weight"]):
+            i, j = idx[s], idx[d]
+            D[i, j] = D[j, i] = 1.0 - float(w)
+        size = np.ones(n)
+        active = np.ones(n, dtype=bool)
+        labels = np.arange(n)
+        while active.sum() > 1:
+            M = D.copy()
+            M[~active, :] = np.inf
+            M[:, ~active] = np.inf
+            np.fill_diagonal(M, np.inf)
+            i, j = np.unravel_index(np.argmin(M), M.shape)
+            if M[i, j] > cut:
+                break
+            if j < i:
+                i, j = j, i
+            si, sj = size[i], size[j]
+            D[i, :] = (si * D[i, :] + sj * D[j, :]) / (si + sj)
+            D[:, i] = D[i, :]
+            D[i, i] = 0.0
+            size[i] = si + sj
+            active[j] = False
+            labels[labels == j] = i
+        reps = {}
+        for t in range(n):
+            reps.setdefault(labels[t], []).append(nodes[t])
+        out_nodes, out_cids = [], []
+        for members in reps.values():
+            cid = min(members)
+            for u in members:
+                out_nodes.append(u)
+                out_cids.append(cid)
+        return pd.DataFrame({"node": out_nodes, "cluster_id": out_cids})
+
+    clustered = comp_edges.groupBy("component").applyInPandas(
+        run_fixed, schema="node string, cluster_id string"
+    )
+    return passthrough.unionByName(clustered)
+
+
+def louvain_clusters(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """G4 alternate (clustering.py:371-413): community detection by
+    modularity — a synchronous, single-level distributed Louvain variant.
+
+    Each round, every node moves to the neighbor community with the best
+    modularity gain dQ ~ k_in(c) - k_i * tot(c\\i) / 2m (evaluated for all
+    neighbor communities plus staying put), ties -> smallest community id;
+    rounds repeat until no node moves or ``max_iterations``. Synchronous
+    moves make this an approximation of sequential Louvain (documented);
+    communities are relabeled to their min member for stable ids.
+    Returns (node, community).
+    """
+    sym = edges.select("src", "dst", "weight").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).localCheckpoint(eager=True)
+    two_m = sym.agg(F.sum("weight")).collect()[0][0] or 1.0
+    deg = sym.groupBy("src").agg(F.sum("weight").alias("k"))
+    labels = deg.select(F.col("src").alias("node"), F.col("src").alias("community"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        lbl_dst = labels.select(F.col("node").alias("dst"), F.col("community"))
+        # weight from each node to each neighbor community
+        k_in = (
+            sym.join(lbl_dst, "dst")
+            .groupBy("src", "community")
+            .agg(F.sum("weight").alias("k_in"))
+        )
+        cur = labels.select(F.col("node").alias("src"), F.col("community").alias("cur_c"))
+        # candidate set = neighbor communities + the current community
+        cand = k_in.unionByName(
+            cur.select("src", F.col("cur_c").alias("community"))
+            .withColumn("k_in", F.lit(0.0))
+        ).groupBy("src", "community").agg(F.max("k_in").alias("k_in"))
+        tot = (
+            labels.join(deg, labels.node == deg.src)
+            .groupBy("community").agg(F.sum("k").alias("tot"))
+        )
+        scored = (
+            cand.join(deg, "src")
+            .join(tot, "community")
+            .join(cur, "src")
+            .withColumn(
+                "gain",
+                F.col("k_in")
+                - F.col("k")
+                * (F.col("tot") - F.when(F.col("community") == F.col("cur_c"), F.col("k")).otherwise(0.0))
+                / F.lit(float(two_m)),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src").orderBy(F.desc("gain"), F.asc("community"))
+        new_labels = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "community")
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .where(F.col("n.community") != F.col("o.community"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if moved == 0:
+            break
+
+    # stable ids: min member node per community
+    reps = labels.groupBy("community").agg(F.min("node").alias("cid"))
+    return labels.join(reps, "community").select("node", F.col("cid").alias("community"))
+
+
 def resolve_conflicts(memberships: DataFrame, edges: DataFrame) -> DataFrame:
     """G6 (clustering.py:587-661): an entity appearing in multiple clusters
     keeps the one with the max mean edge weight to that cluster's members

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from .util import ensure_parallelism
+
 _NORM = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
 
 
@@ -66,8 +68,10 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     norm = F.lower(_NORM(F.col(text_col)))
-    d = docs.select("doc_id", F.array_distinct(F.split(norm, " ")).alias("toks")).where(
-        norm != ""
+    d = ensure_parallelism(
+        docs.select("doc_id", F.array_distinct(F.split(norm, " ")).alias("toks")).where(
+            norm != ""
+        )
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok")).where(F.col("tok") != "")
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
@@ -126,18 +130,6 @@ def minhash_perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[
     return a, b
 
 
-def _minhash_sig_sql(num_perm: int) -> str:
-    """sig[j] = min over shingle hashes h of (a_j*h + b_j) mod (2^31-1),
-    over a column ``hs`` of 28-bit md5 shingle hashes."""
-    a, b = minhash_perm_coeffs(num_perm)
-    a_lit = "array(" + ",".join(f"cast({x} as bigint)" for x in a) + ")"
-    b_lit = "array(" + ",".join(f"cast({x} as bigint)" for x in b) + ")"
-    return (
-        f"transform(sequence(1, {num_perm}), j -> "
-        f"array_min(transform(hs, h -> ({a_lit}[j - 1] * h + {b_lit}[j - 1]) % {_MERSENNE31})))"
-    )
-
-
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -145,22 +137,53 @@ def minhash_signatures(
     shingle_k: int = 5,
     max_chars: int = 2048,
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) — md5-based MinHash, pure JVM.
+    """(doc_id, sig array<bigint>) — md5-based MinHash.
 
-    One md5 per distinct k-shingle (28-bit base hash), then ``num_perm``
-    affine permutations (a*h+b) mod (2^31-1) with literal coefficients —
-    BIGINT-safe in Spark and DuckDB, so the correctness oracle replays the
-    sketch value for value. The sketch region is capped at ``max_chars``
-    normalized chars (bounded per-doc cost at 100 TB). Docs with no
-    shingles (empty text) are dropped.
+    Whole sketch in ONE vectorized Arrow pass: distinct k-shingles, a
+    28-bit md5 base hash per shingle (hashlib, C speed — the equivalent
+    Spark higher-order expressions are *interpreted* per element and ran
+    ~30x slower), then ``num_perm`` affine permutations (a*h+b) mod
+    (2^31-1) as a numpy outer product + min. Every step is integer-exact
+    and md5-based, so the DuckDB correctness oracle replays the sketch
+    value for value with the same literal coefficients. The sketch region
+    is capped at ``max_chars`` normalized chars (bounded per-doc cost at
+    100 TB). Docs with no shingles (empty text) are dropped.
     """
-    d = docs.select(
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    # the sketch is CPU-heavy per row: small single-row-group parquet would
+    # otherwise run it in 1-2 tasks
+    d = ensure_parallelism(docs.select(
         "doc_id",
         F.substring(F.lower(_NORM(F.col(text_col))), 1, max_chars).alias("nt"),
-    ).select("doc_id", F.expr(_shingle_sql(shingle_k)).alias("sh"))
-    hs = F.expr("transform(sh, s -> " + _H28.format(x="s") + ")")
-    d = d.where(F.size("sh") > 0).select("doc_id", hs.alias("hs"))
-    return d.select("doc_id", F.expr(_minhash_sig_sql(num_perm)).alias("sig"))
+    )).where(F.col("nt") != "")
+
+    a_l, b_l = minhash_perm_coeffs(num_perm)
+    a = np.asarray(a_l, dtype=np.uint64)[:, None]
+    b = np.asarray(b_l, dtype=np.uint64)[:, None]
+    m = np.uint64(_MERSENNE31)
+    k = shingle_k
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                sh = {nt} if len(nt) <= k else {nt[i:i + k] for i in range(len(nt) - k + 1)}
+                h = np.fromiter(
+                    (int(md5(s.encode("utf-8")).hexdigest()[:7], 16) for s in sh),
+                    dtype=np.uint64, count=len(sh),
+                )[None, :]
+                # a < 2^31, h < 2^28 -> a*h + b < 2^60: exact in uint64
+                ids.append(doc_id)
+                sigs.append(((a * h + b) % m).min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return d.mapInPandas(run, schema="doc_id long, sig array<bigint>")
 
 
 def minhash_lsh_pairs(
@@ -187,8 +210,21 @@ def minhash_lsh_pairs(
         f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
         f"x -> cast(x as string)), ','))))"
     )
-    banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("band"))
+    # candidates shuffle BARE id pairs (16 bytes) — dup-heavy buckets explode
+    # O(bucket^2) rows pre-distinct, so signatures must NOT ride along; they
+    # are joined back onto the (much smaller) distinct pair set for the
+    # verify step. Costs one extra signature computation per side, wins big
+    # whenever buckets contain duplicate clusters.
+    banded = sigs.select("doc_id", F.explode(band_arr).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc_id1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc_id2"), F.col("sig").alias("sig2"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: (x == y).cast("int")),
@@ -196,15 +232,8 @@ def minhash_lsh_pairs(
         )
     ).cast("double") / F.lit(float(num_perm))
     return (
-        a.join(b, "band")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id1"),
-            F.col("b.doc_id").alias("doc_id2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
-        )
-        .dropDuplicates(["doc_id1", "doc_id2"])
+        cands.join(s1, "doc_id1")
+        .join(s2, "doc_id2")
         .select("doc_id1", "doc_id2", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
@@ -226,7 +255,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "ELSE transform(split(nt, ' '), s -> " + _H60.format(x="s") + ") END"
     )
     return (
-        docs.select("doc_id", F.lower(_NORM(F.col(text_col))).alias("nt"))
+        ensure_parallelism(docs.select("doc_id", F.lower(_NORM(F.col(text_col))).alias("nt")))
         .select("doc_id", F.expr(token_hashes).alias("hs"))
         .select("doc_id", F.expr(_SIMHASH_SQL).alias("simhash"))
     )

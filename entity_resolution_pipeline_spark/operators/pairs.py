@@ -626,11 +626,13 @@ def featurize(df: DataFrame, strategy: str | None = None) -> DataFrame:
     return src.mapInPandas(run, schema=FEATURIZE_SCHEMA)
 
 
-def score_dims(df: DataFrame, model_dict: dict) -> DataFrame:
+def score_dims(
+    df: DataFrame, model_dict: dict, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Dim-table strategy: Python kernels over globally-distinct string
     pairs, everything else JVM (see module docstring)."""
     model = LRModel.from_dict(model_dict)
-    src = df.select("pair_key", *PAIR_SIDE_COLS)
+    src = df.select("pair_key", *passthrough, *PAIR_SIDE_COLS)
     wide = _attach_sim_dims(src)
     cols = feature_columns()
     z = F.lit(float(model.intercept))
@@ -646,18 +648,21 @@ def score_dims(df: DataFrame, model_dict: dict) -> DataFrame:
         .otherwise(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
     )
     return wide.select(
-        "pair_key", conf.alias("confidence"), pref.alias("prefilter")
+        "pair_key", *passthrough, conf.alias("confidence"), pref.alias("prefilter")
     )
 
 
-_SCORE_SCHEMA_STR = "pair_key string, confidence double, prefilter string"
-
-
-def score_arrow(df: DataFrame, model_dict: dict) -> DataFrame:
+def score_arrow(
+    df: DataFrame, model_dict: dict, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Arrow-batch strategy: one mapInPandas pass over pair rows using the
     vectorized batch kernel (per-partition memo dicts dedupe string work).
     No extra shuffles/joins — wins when the distinct string-pair dims are
-    NOT much smaller than the pair rows themselves."""
+    NOT much smaller than the pair rows themselves.
+
+    ``passthrough`` string columns (e.g. url1/url2) ride through the Arrow
+    pass so low-dup-ratio callers can skip the dedup + join-back entirely.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = LRModel.from_dict(model_dict)
@@ -666,15 +671,24 @@ def score_arrow(df: DataFrame, model_dict: dict) -> DataFrame:
             X, pref = _features_batch(pdf, memo)
             p = model.predict_proba(X)
             conf = np.where(pref == "true", 1.0, np.where(pref == "false", 0.0, p))
-            yield pd.DataFrame(
-                {"pair_key": pdf["pair_key"], "confidence": conf, "prefilter": pref}
-            )
+            out = {"pair_key": pdf["pair_key"]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["confidence"] = conf
+            out["prefilter"] = pref
+            yield pd.DataFrame(out)
 
-    src = df.select("pair_key", *PAIR_SIDE_COLS)
-    return src.mapInPandas(run, schema=_SCORE_SCHEMA_STR)
+    schema = (
+        "pair_key string, "
+        + "".join(f"{c} string, " for c in passthrough)
+        + "confidence double, prefilter string"
+    )
+    src = df.select("pair_key", *passthrough, *PAIR_SIDE_COLS)
+    return src.mapInPandas(run, schema=schema)
 
 
-def score(df: DataFrame, model_dict: dict, strategy: str | None = None) -> DataFrame:
+def score(df: DataFrame, model_dict: dict, strategy: str | None = None,
+          passthrough: tuple[str, ...] = ()) -> DataFrame:
     """pairs-with-fields -> (pair_key, confidence, prefilter).
 
     confidence = 1.0 / 0.0 for prefiltered pairs, else sigmoid(LR). Two
@@ -690,8 +704,8 @@ def score(df: DataFrame, model_dict: dict, strategy: str | None = None) -> DataF
     """
     strategy = strategy or os.environ.get("SPARK_GRAFT_SCORE_STRATEGY", "arrow")
     if strategy == "dims":
-        return score_dims(df, model_dict)
-    return score_arrow(df, model_dict)
+        return score_dims(df, model_dict, passthrough=passthrough)
+    return score_arrow(df, model_dict, passthrough=passthrough)
 
 
 def attach_pair_fields(pairs: DataFrame, records: DataFrame) -> DataFrame:

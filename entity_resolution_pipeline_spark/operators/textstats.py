@@ -132,7 +132,7 @@ def fingerprints(
         f"j -> array_min(slice(hs, j, {window}))) END"
     )
     return (
-        docs.select("doc_id", _NORM(F.col(text_col)).alias("nt"))
+        ensure_parallelism(docs.select("doc_id", _NORM(F.col(text_col)).alias("nt")))
         .select("doc_id", F.expr(grams).alias("grams"))
         .select("doc_id", F.expr(hs).alias("hs"))
         .select(

@@ -168,12 +168,27 @@ class ERPipeline:
         pair_fields = P.with_pair_key(P.attach_pair_fields(pairs, records)).persist()
 
         def build_scores():
-            # score distinct field-hash tuples, then hash-join back: string
-            # work scales with distinct variants, not pair count.
-            distinct_tuples = pair_fields.select("pair_key", *P.PAIR_SIDE_COLS).dropDuplicates(["pair_key"])
-            scored_tuples = P.score(distinct_tuples, model.to_dict())
-            return pair_fields.select("url1", "url2", "pair_key").join(
-                scored_tuples, "pair_key"
+            # adaptive: when pairs repeat the same field tuples heavily
+            # (dup-heavy web corpora), score distinct tuples once and hash-
+            # join back; at low dup ratios the dedup shuffle + join-back
+            # costs more than rescoring (per-partition memos still dedupe
+            # within tasks), so score pair rows directly.
+            stats = pair_fields.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("pair_key").alias("d"),
+            ).collect()[0]
+            dup_ratio = stats["n"] / max(1, stats["d"])
+            self.metrics["score_dup_ratio"] = round(float(dup_ratio), 3)
+            if dup_ratio >= 3.0:
+                distinct_tuples = pair_fields.select(
+                    "pair_key", *P.PAIR_SIDE_COLS
+                ).dropDuplicates(["pair_key"])
+                scored_tuples = P.score(distinct_tuples, model.to_dict())
+                return pair_fields.select("url1", "url2", "pair_key").join(
+                    scored_tuples, "pair_key"
+                ).select("url1", "url2", "confidence", "prefilter")
+            return P.score(
+                pair_fields, model.to_dict(), passthrough=("url1", "url2")
             ).select("url1", "url2", "confidence", "prefilter")
 
         t_score0 = time.time()

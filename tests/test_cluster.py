@@ -135,3 +135,61 @@ def test_breakup_oversized(spark):
     assert m["a1"] == m["a2"] == m["a3"]
     assert m["b1"] == m["b2"] == m["b3"]
     assert m["a1"] != m["b1"]
+
+
+def test_hierarchical_clusters(spark):
+    """Average-linkage cut at 1-threshold splits a weak bridge; tiny
+    components pass through whole."""
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        hierarchical_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [("a1", "a2", 0.95), ("a2", "a3", 0.9), ("a1", "a3", 0.92),
+         ("b1", "b2", 0.96), ("b2", "b3", 0.94), ("b1", "b3", 0.9),
+         ("a3", "b1", 0.2),           # weak bridge: avg-linkage must cut it
+         ("c1", "c2", 0.99)],         # 2-node component: passthrough
+        "src string, dst string, weight double",
+    )
+    m = {r["node"]: r["cluster_id"] for r in hierarchical_clusters(edges, threshold=0.5).collect()}
+    assert m["a1"] == m["a2"] == m["a3"] == "a1"
+    assert m["b1"] == m["b2"] == m["b3"] == "b1"
+    assert m["a1"] != m["b1"]
+    assert m["c1"] == m["c2"]
+
+
+def test_hierarchical_low_threshold_keeps_component(spark):
+    """threshold -> 0 keeps merging through the bridge (one cluster)."""
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        hierarchical_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [("a1", "a2", 0.9), ("a2", "a3", 0.9), ("a3", "a4", 0.9)],
+        "src string, dst string, weight double",
+    )
+    m = {r["node"]: r["cluster_id"] for r in hierarchical_clusters(edges, threshold=0.05).collect()}
+    assert len(set(m.values())) == 1
+
+
+def test_louvain_splits_bridged_cliques(spark):
+    """Two dense cliques with one weak bridge: modularity moves split them
+    (CC would return a single component)."""
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        connected_components,
+        louvain_clusters,
+    )
+
+    rows = []
+    for grp in ("a", "b"):
+        ids = [f"{grp}{i}" for i in range(4)]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                rows.append((ids[i], ids[j], 1.0))
+    rows.append(("a0", "b0", 0.05))
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+    assert connected_components(edges).select("component").distinct().count() == 1
+    m = {r["node"]: r["community"] for r in louvain_clusters(edges).collect()}
+    assert m["a0"] == m["a1"] == m["a2"] == m["a3"]
+    assert m["b0"] == m["b1"] == m["b2"] == m["b3"]
+    assert m["a0"] != m["b0"]

@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions (.explain audits as regression tests).
+
+The north_rule grades 100 TB plan quality, not just values: filters must
+reach the parquet scan, small dims must broadcast, scalar pipelines must be
+whole-stage-codegen'd, and shuffle keys must be the 8-byte hashes — these
+tests pin each property so a refactor can't silently regress the plan.
+"""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode="formatted") -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_and_projection_pushdown(spark):
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("doc_id") < 10)
+        .select("doc_id", "lang")
+    )
+    plan = _plan(d)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+    # column pruning: the scan must read only the two projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema, "scan reads pruned column"
+
+
+def test_dim_join_broadcasts(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["w3_largest_groups"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_scalar_pipeline_whole_stage_codegen(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["f6_interactions"](spark, SF))
+    # formatted mode marks whole-stage-codegen operators with a codegen id
+    assert "[codegen id :" in plan
+
+
+def test_blocking_selfjoin_uses_hashed_key(spark):
+    """The candidate-pair self-join must shuffle on xxhash64(key), not the
+    long key string (8-byte shuffle keys)."""
+    from entity_resolution_pipeline_spark.operators.blocking import candidate_pairs
+
+    keys = spark.createDataFrame([("u1", "k1"), ("u2", "k1")], "url string, key string")
+    pairs, _ = candidate_pairs(keys, max_block_size=10)
+    assert "xxhash64" in _plan(pairs)
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    from entity_resolution_pipeline_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "xxhash64" in plan
+    # the aggregate's exchange partitions on tkey (the 8-byte hash)
+    assert "hashpartitioning(tkey" in plan
+
+
+def test_score_arrow_is_single_pass_no_shuffle(spark):
+    """The arrow scoring strategy must add NO exchange beyond its input:
+    one ArrowEvalPython/mapInPandas over the pair rows."""
+    import json
+
+    from entity_resolution_pipeline_spark.operators import pairs as P
+    from entity_resolution_pipeline_spark.operators.classify import LRModel
+    import numpy as np
+
+    model = LRModel(
+        weights=np.zeros(18), intercept=0.0, means=np.zeros(18),
+        stds=np.ones(18), feature_names=list(P.FEATURE_NAMES),
+    ).to_dict()
+    rows = [tuple(["pk"] + ["s"] * 10 + [False] * 5 + [0.5, False])]
+    schema = ("pair_key string, " + ", ".join(
+        c + (" double" if c == "person_lev" else
+             " boolean" if c.endswith(("_eq", "pf_false")) else " string")
+        for c in P.PAIR_SIDE_COLS))
+    df = spark.createDataFrame(rows, schema)
+    plan = _plan(P.score(df, model, strategy="arrow"), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()

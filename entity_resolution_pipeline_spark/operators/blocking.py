@@ -154,15 +154,28 @@ def candidate_pairs(
     if oversized_strategy == "window_cap":
         from pyspark.sql import Window
 
-        hot = keys.join(F.broadcast(oversized.select("key")), "key", "left_semi")
-        w = Window.partitionBy("key").orderBy("url")
-        ranked = hot.select("key", "url", F.row_number().over(w).alias("rn"))
+        # mega-blocks (> salt_factor * max_block_size) are pre-split by a
+        # url-hash salt so no single task sorts the whole block — the same
+        # bounded-recall trade the cap already makes (cross-salt pairs are
+        # dropped), but the per-task work is O(block/salts * log) instead of
+        # one straggler sorting millions of rows. Moderately-hot blocks
+        # (<= salt_factor * cap) keep exact neighbor-cap semantics.
+        salt_factor = 4
+        hot = keys.join(F.broadcast(oversized), "key")
+        n_sub = F.greatest(
+            F.lit(1),
+            F.ceil(F.col("block_size") / F.lit(salt_factor * max_block_size)).cast("int"),
+        )
+        hot = hot.withColumn("salt", F.pmod(F.xxhash64("url"), n_sub))
+        w = Window.partitionBy("key", "salt").orderBy("url")
+        ranked = hot.select("key", "salt", "url", F.row_number().over(w).alias("rn"))
         r1 = ranked.alias("r1")
         r2 = ranked.alias("r2")
         capped = (
             r1.join(
                 r2,
                 (F.col("r1.key") == F.col("r2.key"))
+                & (F.col("r1.salt") == F.col("r2.salt"))
                 & (F.col("r2.rn") > F.col("r1.rn"))
                 & (F.col("r2.rn") <= F.col("r1.rn") + neighbor_cap),
             )

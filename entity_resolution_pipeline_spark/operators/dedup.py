@@ -101,21 +101,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingle_sql(k: int) -> str:
-    """Distinct k-char shingles of ``nt`` (lowercased normalized text)."""
-    return (
-        f"CASE WHEN nt = '' THEN cast(array() as array<string>) "
-        f"WHEN length(nt) <= {k} THEN array(nt) "
-        f"ELSE array_distinct(transform(sequence(1, length(nt) - {k} + 1), "
-        f"i -> substring(nt, i, {k}))) END"
-    )
-
-
+# shared md5-based hash fragments (DuckDB computes identical values, so the
+# correctness oracle replays every sketch value for value)
 _H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
-# 28-bit base hash for MinHash: one md5 per shingle, then cheap affine
-# permutations (a*h+b) mod p — products stay < 2^62 (BIGINT-safe in Spark
-# AND DuckDB, so the oracle replays the identical sketch)
-_H28 = "cast(conv(substring(md5({x}), 1, 7), 16, 10) as bigint)"
 _MERSENNE31 = (1 << 31) - 1
 
 

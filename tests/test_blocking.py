@@ -110,6 +110,32 @@ def test_candidate_pairs_window_cap(spark):
     assert oversized.count() == 1
 
 
+def test_window_cap_salts_mega_blocks(spark):
+    """A mega hot block (> 4x cap) is salted into sub-blocks: bounded pairs,
+    no pair crosses salts, per-node fanout still <= neighbor_cap."""
+    rows = [(f"u{i:03d}", "mega") for i in range(100)]
+    keys = _keys_df(spark, rows)
+    pairs, oversized = candidate_pairs(
+        keys, max_block_size=5, oversized_strategy="window_cap", neighbor_cap=2
+    )
+    got = [(r["url1"], r["url2"]) for r in pairs.collect()]
+    assert oversized.collect()[0]["block_size"] == 100
+    # bounded: at most B*K pairs, and each node pairs with <= 2*K others
+    assert 0 < len(got) <= 100 * 2
+    from collections import Counter
+
+    fanout = Counter()
+    for a, b in got:
+        fanout[a] += 1
+        fanout[b] += 1
+    assert max(fanout.values()) <= 4  # <= neighbor_cap forward + backward
+    # deterministic across runs
+    got2 = [(r["url1"], r["url2"]) for r in candidate_pairs(
+        keys, max_block_size=5, oversized_strategy="window_cap", neighbor_cap=2
+    )[0].collect()]
+    assert sorted(got) == sorted(got2)
+
+
 def test_dedup_orientation(spark):
     keys = _keys_df(spark, [("b", "k"), ("a", "k"), ("a", "k2"), ("b", "k2")])
     pairs, _ = candidate_pairs(keys, max_block_size=10)

@@ -83,6 +83,9 @@ def run_queries(spark, sf_dir):
     import __spark_entry__ as em
 
     qs = em.queries()
+    # warm the JVM + python workers + file index once so the FIRST query's
+    # wall is not session startup in disguise
+    _noop(qs[BENCH_QUERIES[0]](spark, sf_dir))
     out = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

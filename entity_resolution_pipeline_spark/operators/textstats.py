@@ -37,6 +37,7 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / english-stopword / word-length signals."""
+    docs = ensure_parallelism(docs)
     norm = _NORM(F.col(text_col))
     n_chars = F.length(norm)
     tokens = F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
@@ -58,6 +59,7 @@ def quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-ratio language heuristic, JVM-side across 4 languages."""
+    docs = ensure_parallelism(docs)  # array ops per row; spread small scans
     norm = F.lower(_NORM(F.col(text_col)))
     tokens = F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
     n_tokens = F.size(tokens)

@@ -35,6 +35,18 @@ _MH_A, _MH_B = (
     for c in minhash_perm_coeffs(32)
 )
 
+
+def _hyperplanes_sql(n_planes: int = 16, dim: int = 64, seed: int = 42) -> str:
+    """The operator's seeded Gaussian hyperplanes as a DuckDB nested-list
+    literal (repr round-trips float64 exactly, so both engines compute the
+    identical sign bits)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    return "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes
+    ) + "]"
+
 _EN = sorted(
     __import__(
         "entity_resolution_pipeline_spark.functions.text", fromlist=["STOPWORDS"]
@@ -456,6 +468,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return out.select("doc_id1", "doc_id2", F.round("cosine", 4).alias("cosine"))
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    out = _dedup.embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=16, bands=4, seed=42
+    )
+    return out.select("doc_id1", "doc_id2", F.round("cosine", 4).alias("cosine"))
+
+
 def q_ann_bruteforce_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = _ann.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
@@ -572,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "cc_components": q_cc_components,
         "multimodal_mime": q_multimodal_mime,
@@ -909,6 +929,41 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.nrm > 0 AND b.nrm > 0)
             SELECT doc_id1, doc_id2, round(c, 4) AS cosine
             FROM p WHERE c >= 0.2
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+              FROM embeddings),
+            planes(p) AS (SELECT {_hyperplanes_sql(16, 64, 42)}),
+            bits AS (
+              SELECT e.vec_id,
+                     list_transform(range(1, 17), j ->
+                       CASE WHEN list_sum(list_transform(
+                              list_zip(e.embedding, p[j]),
+                              z -> z[1]::DOUBLE * z[2])) >= 0
+                            THEN '1' ELSE '0' END) AS bt
+              FROM e CROSS JOIN planes),
+            bb AS (
+              SELECT vec_id,
+                     unnest(list_transform(range(0, 4), b ->
+                       md5(concat(b::VARCHAR, ':',
+                         list_aggregate(list_slice(bt, b * 4 + 1, b * 4 + 4),
+                                        'string_agg', ''))))) AS band
+              FROM bits),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS doc_id1, b2.vec_id AS doc_id2
+              FROM bb a JOIN bb b2 ON a.band = b2.band AND a.vec_id < b2.vec_id),
+            p2 AS (
+              SELECT doc_id1, doc_id2,
+                     list_sum(list_transform(list_zip(e1.embedding, e2.embedding),
+                              z -> z[1]::DOUBLE * z[2])) / (e1.nrm * e2.nrm) AS c
+              FROM cand
+              JOIN e e1 ON e1.vec_id = cand.doc_id1
+              JOIN e e2 ON e2.vec_id = cand.doc_id2
+              WHERE e1.nrm > 0 AND e2.nrm > 0)
+            SELECT doc_id1, doc_id2, round(c, 4) AS cosine
+            FROM p2 WHERE c >= 0.3
         """,
         "ann_bruteforce_topk": """
             WITH e AS (

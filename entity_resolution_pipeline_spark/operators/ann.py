@@ -120,6 +120,53 @@ def _nearest_cells(
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    cents: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of IVF centroids, all DataFrame ops.
+
+    Hash-sampled seeds are adequate on uniform data but lose recall on
+    skewed 100 TB corpora; a couple of k-means iterations (assign ->
+    per-cell per-component mean -> renormalize) move centroids onto the
+    data's actual modes. Empty cells keep their previous centroid.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), _norm_col(vec_col).alias("nrm")
+    ).where(F.col("nrm") > 0)
+    for _ in range(iters):
+        assign = _nearest_cells(
+            c.select(F.col("vid").alias("nid"), "v", "nrm"), cents, "nid", 1
+        )
+        comp = (
+            c.select(F.col("vid").alias("nid"), F.posexplode("v").alias("pos", "x"))
+            .join(assign, "nid")
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        new_cents = comp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv_new")
+        )
+        cents = (
+            cents.join(new_cents, cents.cidx == new_cents.cell, "left")
+            .select(
+                "cidx",
+                F.coalesce(F.col("cv_new"), F.col("cv0")).alias("cv0"),
+            )
+            .withColumn(
+                "cn0",
+                F.sqrt(F.aggregate("cv0", F.lit(0.0), lambda a, x: a + x.cast("double") * x)),
+            )
+            .where(F.col("cn0") > 0)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,15 +175,20 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF two-stage ANN: probe the nprobe nearest cells per query.
 
     Fully deterministic and JVM-side (centroid pick, cell assignment, probe,
     and exact re-rank are all DataFrame expressions), so the whole operator
     is reproducible in ANSI SQL — the classic inverted-file trade of recall
-    for a corpus-scan factor of ~nprobe/n_cells.
+    for a corpus-scan factor of ~nprobe/n_cells. ``kmeans_iters > 0`` adds
+    Lloyd refinement of the hash-sampled centroids (better cells on skewed
+    corpora; the SQL-oracled contract query keeps iters=0).
     """
     cents = pick_centroids(corpus, n_cells, id_col, vec_col)
+    if kmeans_iters > 0:
+        cents = refine_centroids(corpus, cents, kmeans_iters, id_col, vec_col)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -276,6 +276,80 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
     )
 
 
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs at scale: random-hyperplane LSH + exact verify.
+
+    Sign bits of dot(v, r_j) over ``n_planes`` seeded Gaussian hyperplanes
+    (one vectorized Arrow pass), grouped into ``bands`` bucket keys — two
+    vectors within angle θ share a band with prob (1 - θ/π)^(planes/bands)
+    per band, so the cosine θ-join becomes an equi-join; candidates are
+    verified with the exact JVM cosine. This is the scale path that replaces
+    ``embedding_cosine_pairs``'s crossJoin fallback for unblocked corpora.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return embedding_cosine_pairs(emb, threshold, id_col, vec_col, block_col=None)
+    dim = int(dim_row["d"])
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    rows_per_band = n_planes // bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ planes.T) >= 0  # (n, n_planes) sign bits
+            out_ids, out_bands = [], []
+            for rid, brow in zip(pdf[id_col], bits):
+                for b in range(bands):
+                    chunk = brow[b * rows_per_band:(b + 1) * rows_per_band]
+                    key = f"{b}:" + "".join("1" if x else "0" for x in chunk)
+                    out_ids.append(rid)
+                    out_bands.append(md5(key.encode()).hexdigest())
+            yield pd.DataFrame({"id": out_ids, "band": out_bands})
+
+    src = ensure_parallelism(emb.select(id_col, vec_col))
+    buckets = src.mapInPandas(run, schema="id long, band string")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, "band")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_id1"), F.col("b.id").alias("doc_id2"))
+        .distinct()
+    )
+    normed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    v1 = normed.select(F.col("id").alias("doc_id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    v2 = normed.select(F.col("id").alias("doc_id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(v1, "doc_id1")
+        .join(v2, "doc_id2")
+        .select("doc_id1", "doc_id2", (dot / (F.col("n1") * F.col("n2"))).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -256,6 +256,58 @@ class TestTextStats:
         assert pairs == {(100, 101)}
 
 
+class TestEmbeddingLSH:
+    def test_planted_near_dups_recovered(self, spark):
+        """Hyperplane-LSH finds planted high-cosine pairs without a cross
+        join; verification keeps precision exact (cosine >= threshold)."""
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            embedding_lsh_pairs,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for i in range(30):
+            base = rng.randn(16)
+            noisy = base + 0.02 * rng.randn(16)
+            rows.append((2 * i, base.tolist()))
+            rows.append((2 * i + 1, noisy.tolist()))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {(r["doc_id1"], r["doc_id2"]): r["cosine"]
+               for r in embedding_lsh_pairs(emb, threshold=0.9).collect()}
+        planted = {(2 * i, 2 * i + 1) for i in range(30)}
+        recall = len(planted & set(got)) / len(planted)
+        assert recall >= 0.8, recall
+        assert all(c >= 0.9 for c in got.values())
+
+
+class TestIVFKMeans:
+    def test_refined_centroids_recall(self, spark):
+        """Lloyd-refined centroids must not degrade recall vs hash-sampled
+        seeds on a clustered corpus (and typically improve it)."""
+        from entity_resolution_pipeline_spark.operators.ann import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(11)
+        centers = rng.randn(6, 8) * 4
+        rows = [(i, (centers[i % 6] + rng.randn(8)).tolist()) for i in range(120)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.where(F.col("vec_id") < 5)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(emb, q, k=5).collect()}
+
+        def recall(iters):
+            a = {(r["query_id"], r["neighbor_id"])
+                 for r in ivf_topk(emb, q, k=5, n_cells=6, nprobe=2,
+                                   kmeans_iters=iters).collect()}
+            return len(exact & a) / len(exact)
+
+        r0, r2 = recall(0), recall(2)
+        assert r2 >= 0.6
+        assert r2 >= r0 - 0.1, (r0, r2)
+
+
 class TestImpute:
     def test_modal_donor(self, spark):
         records = spark.createDataFrame(

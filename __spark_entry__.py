@@ -243,6 +243,8 @@ def q_a11_feature_stats(spark, sf_dir):
                 F.round(F.max(c), 6).alias("max_v"),
                 F.round(F.avg(c), 6).alias("mean_v"),
                 F.round(F.stddev_pop(c), 6).alias("std_v"),
+                F.sum(F.isnan(c).cast("long")).alias("n_nan"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
             )
         )
     out = rows[0]
@@ -740,20 +742,33 @@ def oracle_sql() -> dict[str, str]:
         "a11_feature_stats": """
             SELECT feature,
                    round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
-                   round(mean_v, 6) AS mean_v, round(std_v, 6) AS std_v
+                   round(mean_v, 6) AS mean_v, round(std_v, 6) AS std_v,
+                   n_nan, n_null
             FROM (
               SELECT 'l_quantity' AS feature, min(l_quantity) AS min_v,
                      max(l_quantity) AS max_v, avg(l_quantity) AS mean_v,
-                     stddev_pop(l_quantity) AS std_v FROM lineitem
+                     stddev_pop(l_quantity) AS std_v,
+                     sum(CASE WHEN isnan(l_quantity) THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+                     sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+              FROM lineitem
               UNION ALL
               SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
-                     avg(l_extendedprice), stddev_pop(l_extendedprice) FROM lineitem
+                     avg(l_extendedprice), stddev_pop(l_extendedprice),
+                     sum(CASE WHEN isnan(l_extendedprice) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+              FROM lineitem
               UNION ALL
               SELECT 'l_discount', min(l_discount), max(l_discount),
-                     avg(l_discount), stddev_pop(l_discount) FROM lineitem
+                     avg(l_discount), stddev_pop(l_discount),
+                     sum(CASE WHEN isnan(l_discount) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT
+              FROM lineitem
               UNION ALL
               SELECT 'l_tax', min(l_tax), max(l_tax),
-                     avg(l_tax), stddev_pop(l_tax) FROM lineitem)
+                     avg(l_tax), stddev_pop(l_tax),
+                     sum(CASE WHEN isnan(l_tax) THEN 1 ELSE 0 END)::BIGINT,
+                     sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT
+              FROM lineitem)
         """,
         "w1_topk_per_group": """
             SELECT o_custkey, o_orderkey, rnk FROM (

@@ -910,7 +910,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE lower({norm}) <> ''),
             t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
             t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
-            tdf AS (SELECT tok, count(*) AS dfreq FROM t2 GROUP BY tok),
+            tdf AS (SELECT tok, count(*) AS dfreq FROM t2 GROUP BY tok
+                    HAVING count(*) <= 64),
             r AS (
               SELECT t2.doc_id, t2.tok,
                      row_number() OVER (PARTITION BY t2.doc_id

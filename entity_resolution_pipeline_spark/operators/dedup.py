@@ -53,6 +53,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     n_anchors: int = 2,
+    max_anchor_df: int = 64,
 ) -> DataFrame:
     """Word-set Jaccard near-dup pairs, blocked on each doc's RAREST tokens.
 
@@ -62,8 +63,13 @@ def ngram_jaccard_pairs(
     fraction of documents lead with the same stopword, producing one O(B^2)
     mega-block; rare tokens spread documents across many small blocks. Two
     anchors (not one) cover the typo case where a doc's single rarest token
-    IS its distinguishing edit. Verification is pure JVM:
-    |intersect| / |union| over distinct word arrays.
+    IS its distinguishing edit.
+
+    Tokens with document frequency above ``max_anchor_df`` never anchor
+    (they are not "rare"): this bounds every block at max_anchor_df docs —
+    O(B^2) work per key stays bounded, the same skew policy as the ER
+    blocking stage. Verification is pure JVM: |intersect| / |union| over
+    distinct word arrays.
     """
     from pyspark.sql import Window
 
@@ -74,7 +80,9 @@ def ngram_jaccard_pairs(
         )
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok")).where(F.col("tok") != "")
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq")).where(
+        F.col("dfreq") <= max_anchor_df
+    )
     w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
     bkeys = (
         tok.join(dfreq, "tok")
@@ -101,9 +109,6 @@ def ngram_jaccard_pairs(
     )
 
 
-# shared md5-based hash fragments (DuckDB computes identical values, so the
-# correctness oracle replays every sketch value for value)
-_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 _MERSENNE31 = (1 << 31) - 1
 
 
@@ -227,26 +232,45 @@ def minhash_lsh_pairs(
     )
 
 
-# 60-bit SimHash: majority vote per bit over md5-hashed whitespace tokens
-# (occurrence-weighted), entirely in JVM expressions.
-_SIMHASH_SQL = (
-    "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
-    "CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs) "
-    "THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)"
-)
-
-
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash bigint) — 60-bit md5 SimHash, pure JVM."""
-    token_hashes = (
-        "CASE WHEN nt = '' THEN cast(array() as array<bigint>) "
-        "ELSE transform(split(nt, ' '), s -> " + _H60.format(x="s") + ") END"
+    """(doc_id, simhash bigint) — 60-bit md5 SimHash.
+
+    Majority vote per bit over md5-hashed whitespace tokens (occurrence-
+    weighted), computed in one vectorized Arrow pass (hashlib md5 + a numpy
+    tokens x 60 bit matrix; the equivalent JVM higher-order expressions are
+    interpreted per element and ran ~10x slower). The math is exactly the
+    DuckDB oracle's: bit i set iff 2 * |{tokens with bit i}| > |tokens|.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = ensure_parallelism(
+        docs.select("doc_id", F.lower(_NORM(F.col(text_col))).alias("nt"))
     )
-    return (
-        ensure_parallelism(docs.select("doc_id", F.lower(_NORM(F.col(text_col))).alias("nt")))
-        .select("doc_id", F.expr(token_hashes).alias("hs"))
-        .select("doc_id", F.expr(_SIMHASH_SQL).alias("simhash"))
-    )
+    shifts = np.arange(60, dtype=np.uint64)[None, :]
+    weights = (np.uint64(1) << np.arange(60, dtype=np.uint64)).astype(np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            out = []
+            for nt in pdf["nt"]:
+                toks = nt.split(" ") if nt else []
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (int(md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in toks),
+                    dtype=np.uint64, count=len(toks),
+                )
+                counts = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                out.append(int(weights[2 * counts > len(toks)].sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return d.mapInPandas(run, schema="doc_id long, simhash long")
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:

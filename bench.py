@@ -422,6 +422,9 @@ def main():
         min_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         max_reps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "9"))
         steal_cap = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CAP", "0.03"))
+        # wall-clock budget: under a sustained co-tenant storm the retry loop
+        # must degrade to best-effort rather than blow the bench's timeout
+        deadline = time.time() + float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "360"))
         walls = {2: [], 8: []}        # accepted
         all_reps = {2: [], 8: []}     # every rep: (wall, steal_frac, ok)
 
@@ -434,7 +437,7 @@ def main():
         for r in range(max_reps):
             done = True
             for cores, w in ((2, w2), (8, w8)):
-                if converged(walls[cores]):
+                if converged(walls[cores]) or time.time() > deadline:
                     continue
                 done = False
                 c8, c2 = pick_sets()
@@ -446,7 +449,7 @@ def main():
                     walls[cores].append(round(wall, 3))
                 _log(f"scale rep {r + 1} {cores}c: {wall:.2f}s "
                      f"steal={sfrac:.1%} {'ok' if ok else 'REJECTED'}")
-            if done:
+            if done or time.time() > deadline:
                 break
         for cores in (2, 8):
             if not walls[cores]:  # co-tenant never let up: fall back to all

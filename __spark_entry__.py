@@ -433,6 +433,10 @@ def q_text_token_counts(spark, sf_dir):
     return _ts.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_text_token_counts_bpe(spark, sf_dir):
+    return _ts.token_counts_bpeish(_t(spark, sf_dir, "documents"))
+
+
 def q_text_quality(spark, sf_dir):
     q = _ts.quality(_t(spark, sf_dir, "documents"))
     return q.select(
@@ -588,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_year_extraction": q_f9_year_extraction,
         "f12_sigmoid_threshold": q_f12_sigmoid_threshold,
         "text_token_counts": q_text_token_counts,
+        "text_token_counts_bpe": q_text_token_counts_bpe,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
@@ -859,6 +864,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {norm} = '' THEN 0
                         ELSE len(str_split({norm}, ' ')) END AS n_tokens_ws,
                    length({norm}) AS n_chars_norm
+            FROM documents
+        """,
+        "text_token_counts_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))::BIGINT
+                     AS n_tokens_bpe
             FROM documents
         """,
         "text_quality": f"""

@@ -24,6 +24,40 @@ def md5_hash60(c: Column | str) -> Column:
 MD5_HASH60_SQL = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
+def uuid5_col(c: Column | str, namespace: str = "url") -> Column:
+    """RFC 4122 UUIDv5 of a string column, as JVM expressions (F13).
+
+    The reference derives idempotent Weaviate object ids with
+    uuid.uuid5(NAMESPACE, key) (/root/reference/src/indexing.py:668-702);
+    this reproduces the exact RFC construction — sha1(namespace_bytes ||
+    utf8(name)), version nibble forced to 5, variant bits to 10xx — so ids
+    match Python's uuid.uuid5 byte for byte (pytest-pinned). Useful as a
+    deterministic merge key for Catalog.merge_upsert.
+    """
+    import uuid as _uuid
+
+    ns = {
+        "url": _uuid.NAMESPACE_URL,
+        "dns": _uuid.NAMESPACE_DNS,
+        "oid": _uuid.NAMESPACE_OID,
+        "x500": _uuid.NAMESPACE_X500,
+    }[namespace]
+    c = F.col(c) if isinstance(c, str) else c
+    h = F.sha1(F.concat(F.unhex(F.lit(ns.bytes.hex())), F.encode(c, "UTF-8")))
+    variant = (
+        F.conv(F.substring(h, 17, 1), 16, 10).cast("int")
+        .bitwiseAND(F.lit(3)).bitwiseOR(F.lit(8))
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(F.lower(F.conv(variant.cast("string"), 10, 16)), F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the cluster.
 

@@ -141,6 +141,19 @@ def test_csv_export(pipeline_run, tmp_path_factory):
     assert back.where("entity_id IS NULL OR cluster_id IS NULL").count() == 0
 
 
+def test_uuid5_matches_python(spark):
+    """F13: JVM uuid5 == Python uuid.uuid5 byte for byte (idempotent keys)."""
+    import uuid
+
+    from entity_resolution_pipeline_spark.operators.util import uuid5_col
+
+    vals = ["", "abc", "https://ex.org/a?b=1", "Smith, John, 1840-1902", "ünïcodé ✓"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["u"] for r in df.select("s", uuid5_col("s").alias("u")).collect()}
+    for v in vals:
+        assert got[v] == str(uuid.uuid5(uuid.NAMESPACE_URL, v)), v
+
+
 def test_merge_upsert(spark, tmp_path_factory):
     """S4: keyed upsert — matched keys replaced, unmatched kept, idempotent."""
     from entity_resolution_pipeline_spark.sources.catalog import Catalog

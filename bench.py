@@ -166,7 +166,8 @@ def score_job(spark, pairs_dir, model_dict):
         scored = P.score(distinct_tuples, model_dict)
         _noop(pf.select("url1", "url2", "pair_key").join(scored, "pair_key"))
     else:
-        _noop(P.score(pf, model_dict, passthrough=("url1", "url2")))
+        # co-locate same-person rows (memo hit rate drives the Python kernel)
+        _noop(P.score(pf.repartition("person1"), model_dict, passthrough=("url1", "url2")))
     wall = time.time() - t0
     return n_pairs, wall
 

@@ -166,8 +166,10 @@ def score_job(spark, pairs_dir, model_dict):
         scored = P.score(distinct_tuples, model_dict)
         _noop(pf.select("url1", "url2", "pair_key").join(scored, "pair_key"))
     else:
-        # co-locate same-person rows (memo hit rate drives the Python kernel)
-        _noop(P.score(pf.repartition("person1"), model_dict, passthrough=("url1", "url2")))
+        # co-locate same-person rows only at scale (memo hit rate drives the
+        # Python kernel; below ~2M rows the shuffle outweighs the gain)
+        src = pf.repartition("person1") if n_pairs >= 2_000_000 else pf
+        _noop(P.score(src, model_dict, passthrough=("url1", "url2")))
     wall = time.time() - t0
     return n_pairs, wall
 

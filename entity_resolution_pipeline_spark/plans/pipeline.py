@@ -187,14 +187,14 @@ class ERPipeline:
                 return pair_fields.select("url1", "url2", "pair_key").join(
                     scored_tuples, "pair_key"
                 ).select("url1", "url2", "confidence", "prefilter")
-            # co-locate same-person rows first: the Python tsr kernel's cost
-            # is driven by per-partition memo hit rates, and repartitioning
-            # by person measured ~1.7-2.3x faster at 5.8M pairs (one cheap
-            # shuffle vs recomputing string similarities per partition)
+            # co-locate same-person rows first when the input is large: the
+            # Python tsr kernel's cost is driven by per-partition memo hit
+            # rates, and repartitioning by person measured ~1.7-2.3x faster
+            # at 5.8M pairs; below ~2M rows the shuffle costs more than the
+            # extra memo hits save (partitions already see most variants)
+            src = pair_fields.repartition("person1") if stats["n"] >= 2_000_000 else pair_fields
             return P.score(
-                pair_fields.repartition("person1"),
-                model.to_dict(),
-                passthrough=("url1", "url2"),
+                src, model.to_dict(), passthrough=("url1", "url2")
             ).select("url1", "url2", "confidence", "prefilter")
 
         t_score0 = time.time()

@@ -409,3 +409,30 @@ class TestMultimodal:
         # determinism
         feats2 = {r["id"]: r for r in decode_image_features(df).collect()}
         assert feats2[0]["features"] == feats[0]["features"]
+
+    def test_resize_plumbing(self, spark):
+        """Resize stub: size-exact output, deterministic, NULL-safe."""
+        from entity_resolution_pipeline_spark.operators.multimodal import resize_images
+
+        rows = [(0, bytearray(bytes(range(256)) * 40)), (1, bytearray(b"xy")), (2, None)]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r["id"]: r for r in resize_images(df, target_w=8, target_h=8).collect()}
+        assert all(len(out[i]["payload_resized"]) == 64 for i in range(3))
+        assert out[0]["width"] == out[0]["height"] == 8
+        out2 = {r["id"]: r for r in resize_images(df, target_w=8, target_h=8).collect()}
+        assert bytes(out2[0]["payload_resized"]) == bytes(out[0]["payload_resized"])
+
+    def test_frame_sampling_shape(self, spark):
+        """Frame sampler: 1 -> N rows per video, ordered strides, empty/NULL
+        payloads yield zero rows, frames reassemble to the payload."""
+        from entity_resolution_pipeline_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        payload = bytes(range(100))
+        rows = [(0, bytearray(payload)), (1, bytearray(b"")), (2, None)]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = sample_video_frames(df, n_frames=4).collect()
+        got = sorted((r["id"], r["frame_idx"], bytes(r["frame"])) for r in out)
+        assert [g[:2] for g in got] == [(0, 0), (0, 1), (0, 2), (0, 3)]
+        assert b"".join(g[2] for g in got) == payload

@@ -38,8 +38,14 @@ _MH_A, _MH_B = (
 
 def _hyperplanes_sql(n_planes: int = 16, dim: int = 64, seed: int = 42) -> str:
     """The operator's seeded Gaussian hyperplanes as a DuckDB nested-list
-    literal (repr round-trips float64 exactly, so both engines compute the
-    identical sign bits)."""
+    literal. repr round-trips each float64 exactly, but the two engines may
+    still SUM the dot product in different orders (numpy BLAS vs DuckDB
+    left-fold), so a product landing within ~1 ulp of the >=0 sign boundary
+    (or a cosine within ~1 ulp of the threshold) could in principle flip
+    between engines. The synthetic embeddings are coarse random floats whose
+    plane dots sit far (>>1e-9) from 0, so band membership is stable in
+    practice; if the testdata generator ever changes, re-check that margin
+    rather than trusting exact-match here."""
     import numpy as np
 
     planes = np.random.RandomState(seed).randn(n_planes, dim)
@@ -453,6 +459,10 @@ def q_text_langid(spark, sf_dir):
     return _ts.language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_text_langid_v2(spark, sf_dir):
+    return _ts.language_id_v2(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # dedup / similarity
 # --------------------------------------------------------------------------
@@ -595,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts_bpe": q_text_token_counts_bpe,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_langid_v2": q_text_langid_v2,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -607,6 +618,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_fingerprints": q_text_fingerprints,
     }
+
+
+def _langid_v2_sql(norm: str) -> str:
+    """DuckDB replay of operators/textstats.language_id_v2: identical
+    trigram extraction (space-padded, distinct), identical literal
+    profiles, identical argmax with smallest-language tie-break."""
+    from entity_resolution_pipeline_spark.functions.text import (
+        TRIGRAM_MIN_HITS,
+        TRIGRAM_PROFILES,
+    )
+
+    langs = sorted(TRIGRAM_PROFILES)
+    lists = {
+        lang: "[" + ",".join("'" + t.replace("'", "''") + "'" for t in TRIGRAM_PROFILES[lang]) + "]"
+        for lang in langs
+    }
+    hit_cols = ",\n                     ".join(
+        f"len(list_intersect(tris, {lists[lang]})) AS h_{lang}" for lang in langs
+    )
+    all_h = ", ".join(f"h_{lang}" for lang in langs)
+    cases = []
+    for i in range(len(langs) - 1, 0, -1):
+        smaller = ", ".join(f"h_{l}" for l in langs[:i])
+        gt = f"greatest({smaller})" if i > 1 else smaller
+        cases.append(f"WHEN h_{langs[i]} > {gt} THEN '{langs[i]}'")
+    case_chain = "\n                   ".join(cases)
+    return f"""
+            WITH t AS (
+              SELECT doc_id, lower({norm}) AS nrm,
+                     ' ' || lower({norm}) || ' ' AS padded
+              FROM documents),
+            tr AS (
+              SELECT doc_id, nrm,
+                     list_distinct(list_transform(range(1, length(padded) - 1),
+                         i -> substr(padded, i, 3))) AS tris
+              FROM t),
+            h AS (SELECT doc_id, nrm,
+                     {hit_cols}
+                  FROM tr)
+            SELECT doc_id,
+              CASE WHEN nrm = '' THEN 'und'
+                   WHEN greatest({all_h}) < {TRIGRAM_MIN_HITS} THEN 'und'
+                   {case_chain}
+                   ELSE '{langs[0]}' END AS lang_pred
+            FROM h
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -907,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'de' END AS lang_pred
             FROM t
         """,
+        "text_langid_v2": _langid_v2_sql(norm),
         "dedup_exact": f"""
             WITH k AS (SELECT doc_id, {norm} AS nt FROM documents),
             g AS (SELECT nt, min(doc_id) AS keep_id, count(*) AS group_size
@@ -921,17 +979,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE lower({norm}) <> ''),
             t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
             t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
-            tdf AS (SELECT tok, count(*) AS dfreq FROM t2 GROUP BY tok
-                    HAVING count(*) <= 64),
+            tdf_all AS (SELECT tok, count(*) AS dfreq FROM t2 GROUP BY tok),
+            tdf AS (SELECT tok, dfreq FROM tdf_all WHERE dfreq <= 64),
             r AS (
               SELECT t2.doc_id, t2.tok,
                      row_number() OVER (PARTITION BY t2.doc_id
                                         ORDER BY tdf.dfreq, t2.tok) AS rn
               FROM t2 JOIN tdf USING (tok)),
             bk AS (SELECT doc_id, tok AS bkey FROM r WHERE rn <= 2),
+            -- anchor-less fallback: min-df token + doc_id-neighbor cap (8)
+            anchorless AS (
+              SELECT doc_id FROM d
+              WHERE doc_id NOT IN (SELECT doc_id FROM bk)),
+            fbr AS (
+              SELECT t2.doc_id, t2.tok,
+                     row_number() OVER (PARTITION BY t2.doc_id
+                                        ORDER BY tdf_all.dfreq, t2.tok) AS rn
+              FROM t2 JOIN tdf_all USING (tok)
+              WHERE t2.doc_id IN (SELECT doc_id FROM anchorless)),
+            fbk AS (SELECT doc_id, tok AS bkey FROM fbr WHERE rn = 1),
+            fbn AS (SELECT doc_id, bkey,
+                           row_number() OVER (PARTITION BY bkey
+                                              ORDER BY doc_id) AS brn
+                    FROM fbk),
             cand AS (
-              SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-              FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              SELECT DISTINCT doc_id1, doc_id2 FROM (
+                SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+                FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+                UNION ALL
+                SELECT f1.doc_id AS doc_id1, f2.doc_id AS doc_id2
+                FROM fbn f1 JOIN fbn f2 ON f1.bkey = f2.bkey
+                  AND f2.brn > f1.brn AND f2.brn <= f1.brn + 8)),
             p AS (
               SELECT doc_id1, doc_id2,
                      len(list_intersect(da.toks, db.toks))::DOUBLE

@@ -74,6 +74,95 @@ class MinHasher:
             out[i] = self.signature(t)
         return out
 
+    # shingles per permutation-buffer chunk. 4096 keeps the reused buffer at
+    # num_perm * 4096 * 8 = 2 MB for 64 perms: L2/L3-resident AND allocated
+    # exactly once — on this host, FIRST-TOUCH page faults on fresh large
+    # numpy temporaries cost ~0.5 ms/page (measured: one 54 MB a*H temporary
+    # took 7 s on first touch, 7 ms on reuse), so the kernel must never
+    # allocate per-op matrices. All four affine-map ops write into the same
+    # preallocated buffer via out=.
+    _BATCH_CHUNK = 4096
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(len(texts), num_perm) — value-identical to :meth:`signature`
+        per row (pytest-pinned), one chunked vectorized pass per batch.
+
+        Shingle hashes are concatenated with per-doc offsets; docs are
+        packed into ~_BATCH_CHUNK-shingle chunks and each chunk runs the
+        affine permutations in ONE reused buffer (np.multiply/add/
+        remainder/bitwise_and with out=), with per-doc minima via
+        ``np.minimum.reduceat``. Duplicate shingle hashes are NOT deduped
+        (min is idempotent under duplicates; skipping np.unique is
+        cheaper). A single doc longer than a chunk streams through the
+        same buffer with a running minimum. Empty texts get the all-max
+        sentinel, as in signature().
+        """
+        n = len(texts)
+        out = np.full((n, self.num_perm), _MAX32, dtype=np.uint64)
+        crc = zlib.crc32
+        hash_chunks: list[np.ndarray] = []
+        doc_lens: list[int] = []
+        doc_idx: list[int] = []
+        for i, t in enumerate(texts):
+            sh = shingles(t, k=self.k, mode=self.mode)
+            if not sh:
+                continue
+            hs = np.fromiter(
+                (crc(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
+            )
+            hash_chunks.append(hs)
+            doc_lens.append(len(sh))
+            doc_idx.append(i)
+        if not hash_chunks:
+            return out
+        H = np.concatenate(hash_chunks)
+        lens = np.asarray(doc_lens, dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        rows = np.asarray(doc_idx, dtype=np.int64)
+        p = np.uint64(_MERSENNE_P)
+        mask = np.uint64(_MAX32)
+        ch = self._BATCH_CHUNK
+        a_col = self.a[:, None]
+        b_col = self.b[:, None]
+        buf = np.empty((self.num_perm, ch), dtype=np.uint64)
+
+        def perm_into(seg: np.ndarray) -> np.ndarray:
+            # a < 2^29, h < 2^32, b < 2^61 -> a*h + b < 2^62: exact in uint64
+            # (a Mersenne shift-add fold was measured SLOWER than the
+            # hardware remainder here — the extra strided passes cost more
+            # than the division saves)
+            v = buf[:, : len(seg)]
+            np.multiply(a_col, seg[None, :], out=v)
+            np.add(v, b_col, out=v)
+            np.remainder(v, p, out=v)
+            np.bitwise_and(v, mask, out=v)
+            return v
+
+        n_docs = len(rows)
+        i = 0
+        while i < n_docs:
+            if lens[i] > ch:
+                # megadoc: stream through the buffer with a running min
+                mins = np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+                for s0 in range(starts[i], ends[i], ch):
+                    v = perm_into(H[s0:min(s0 + ch, ends[i])])
+                    np.minimum(mins, v.min(axis=1), out=mins)
+                out[rows[i]] = mins
+                i += 1
+                continue
+            # pack as many whole docs as fit into one chunk
+            j = i + 1
+            span = lens[i]
+            while j < n_docs and span + lens[j] <= ch:
+                span += lens[j]
+                j += 1
+            v = perm_into(H[starts[i]:starts[i] + span])
+            seg_starts = (starts[i:j] - starts[i]).astype(np.intp)
+            out[rows[i:j]] = np.minimum.reduceat(v, seg_starts, axis=1).T
+            i = j
+        return out
+
 
 def band_hashes(signature: np.ndarray, bands: int) -> list[int]:
     """Split a signature into ``bands`` equal bands; crc32 each band's bytes.

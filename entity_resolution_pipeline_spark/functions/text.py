@@ -45,6 +45,66 @@ STOPWORDS = {
 }
 
 
+# Character-trigram profiles for the v2 language heuristic: per language the
+# most characteristic trigrams of its running text (function words + affix
+# patterns; space marks a word boundary, texts are space-padded before
+# extraction). Hand-curated from public per-language frequency knowledge —
+# literal arrays so the DuckDB oracle replays the operator exactly.
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "da": ["er ", "en ", "et ", " de", "det", "de ", " og", "og ", " at",
+           "at ", "for", " fo", "or ", "til", " ti", "il ", "den", "nde"],
+    "de": [" de", "der", "die", " di", "und", " un", "nd ", "ein", " ei",
+           "ich", "sch", "ch ", "en ", "er ", "ung", "gen", "ten", " ge"],
+    "en": [" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of",
+           "of ", " to", "to ", "ion", "tio", "ent", " in", "is ", "ed "],
+    "es": [" de", "de ", " la", "la ", " el", "el ", " en", "en ", "que",
+           " qu", "ue ", "os ", "as ", "ció", "ión", "aci", "es ", " co"],
+    "fi": ["en ", "in ", " on", "on ", "ta ", "an ", " ja", "ja ", "sta",
+           "ist", "lla", "ssa", "aan", "ään", "ttä", "tä ", "sen", "nen"],
+    "fr": [" de", "de ", " le", "le ", " la", "la ", "es ", "ent", "que",
+           " qu", "ue ", " et", "et ", "les", "des", "ion", " un", "re "],
+    "id": [" me", "men", "an ", "kan", " di", "di ", "ang", "ng ", " ke",
+           "ke ", "yan", " ya", "ah ", "nya", " pe", "per", "ber", " be"],
+    "it": [" di", "di ", " il", "il ", "to ", "la ", "re ", "che", " ch",
+           "he ", "ion", "zio", "one", " co", "del", "ell", "lla", "ato"],
+    "nl": [" de", "de ", "en ", "et ", " he", "het", "van", " va", "an ",
+           "een", " ee", "er ", "ijk", "aar", " en", " ve", "ing", "ng "],
+    "pl": ["ie ", "nie", " ni", "na ", " na", " po", "się", " si", "ię ",
+           "go ", "ego", "ych", "ch ", " pr", "rze", " w ", "do ", " do"],
+    "pt": [" de", "de ", " do", "do ", " da", "da ", "ão ", "ção", "açã",
+           "os ", "as ", "que", " qu", "ue ", "ent", " co", "ar ", "ra "],
+    "sv": ["en ", "er ", "et ", " oc", "och", "ch ", " at", "att", "tt ",
+           "för", " fö", "ör ", "det", " de", "som", " so", "om ", "ar "],
+    "tr": ["lar", "ar ", "ler", "er ", " bi", "bir", "ir ", "in ", "an ",
+           "ın ", "arı", "eri", "nda", " ka", " ya", "ile", " il", "da "],
+}
+
+# v2 requires at least this many distinct profile-trigram hits to claim a
+# language (absolute floor keeps the rule SQL-trivial and length-robust)
+TRIGRAM_MIN_HITS = 3
+
+
+def detect_language_trigram(text: str) -> str:
+    """Python twin of operators/textstats.language_id_v2 (pytest-pinned).
+
+    Distinct char trigrams of the space-padded, lowercased, ws-normalized
+    text are intersected with each language profile; most hits wins, ties
+    go to the lexicographically smallest language, fewer than
+    TRIGRAM_MIN_HITS distinct hits -> 'und'.
+    """
+    norm = normalize_text(text).lower()
+    if not norm:
+        return "und"
+    padded = " " + norm + " "
+    tris = {padded[i:i + 3] for i in range(len(padded) - 2)}
+    best_lang, best_hits = "und", 0
+    for lang in sorted(TRIGRAM_PROFILES):
+        hits = len(tris & set(TRIGRAM_PROFILES[lang]))
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits >= TRIGRAM_MIN_HITS else "und"
+
+
 def normalize_text(text: object) -> str:
     """Reference-exact normalization: strip + collapse ``\\s+`` to one space."""
     if text is None:

@@ -185,6 +185,13 @@ def ivf_topk(
     for a corpus-scan factor of ~nprobe/n_cells. ``kmeans_iters > 0`` adds
     Lloyd refinement of the hash-sampled centroids (better cells on skewed
     corpora; the SQL-oracled contract query keeps iters=0).
+
+    Zero-norm vectors: cosine is undefined for the zero vector, so
+    zero-norm CORPUS rows are never candidates and zero-norm QUERY rows
+    produce **no output rows at all** (row counts are not preserved for
+    them). Callers that need a signal for degenerate queries should
+    pre-filter ``aggregate(v, 0d, (a,x) -> a + x*x) = 0`` and handle those
+    ids explicitly.
     """
     cents = pick_centroids(corpus, n_cells, id_col, vec_col)
     if kmeans_iters > 0:

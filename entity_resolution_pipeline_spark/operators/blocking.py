@@ -31,7 +31,7 @@ from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 from .util import ensure_parallelism
-from ..functions.minhash import MinHasher, band_hashes
+from ..functions.minhash import MinHasher
 from ..functions.years import normalize_name
 
 DEFAULT_NUM_PERM = 64
@@ -85,22 +85,44 @@ def lsh_keys(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(url, key) — one row per MinHash band over the composite text."""
+    """(url, key) — one row per MinHash band over the composite text.
+
+    The sketch is the vectorized batch kernel
+    (``MinHasher.signatures_batch``: concatenated shingle hashes + affine
+    perms + ``minimum.reduceat``), value-identical to the per-row
+    ``signature()`` (pytest-pinned) but without per-row small-matrix
+    allocation — the same rewrite that took the dedup minhash sketch from
+    244 s to seconds at sf0.1.
+    """
+    import zlib
+
+    import numpy as np
+
     schema = StructType(
         [StructField("url", StringType()), StructField("bands", ArrayType(LongType()))]
     )
+    rpb = num_perm // bands
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mh = MinHasher(num_perm=num_perm, seed=seed, k=shingle_k, mode="char")
+        crc = zlib.crc32
+        neg = np.int64(-(1 << 63))
         for pdf in batches:
-            out = []
-            for comp in pdf["composite"]:
-                if not comp:
-                    out.append(None)
-                    continue
-                sig = mh.signature(comp)
-                # uint64 band ids -> int64 column (stable reinterpret)
-                out.append([int(b) - (1 << 63) for b in band_hashes(sig, bands)])
+            comps = ["" if c is None else c for c in pdf["composite"]]
+            n = len(comps)
+            sigs = mh.signatures_batch(comps)
+            band_ids = np.empty((n, bands), dtype=np.int64)
+            w = rpb * 8
+            for b in range(bands):
+                buf = np.ascontiguousarray(sigs[:, b * rpb:(b + 1) * rpb].astype("<u8")).tobytes()
+                col = np.fromiter(
+                    (crc(buf[i * w:(i + 1) * w]) for i in range(n)),
+                    dtype=np.int64, count=n,
+                )
+                # band-scoped id (b << 32 | crc) reinterpreted into int64
+                band_ids[:, b] = (np.int64(b) << np.int64(32) | col) + neg
+            lists = band_ids.tolist()
+            out = [lists[i] if comps[i] else None for i in range(n)]
             yield pd.DataFrame({"url": pdf["url"], "bands": out})
 
     out = ensure_parallelism(records.select("url", "composite")).mapInPandas(run, schema=schema)
@@ -134,17 +156,35 @@ def candidate_pairs(
 
     Either way, oversized blocks are *returned* for manifest logging — no
     silent truncation.
+
+    Plan shape (one scan of ``keys``): block sizes come from a count window
+    over the 8-byte key hash — ONE shuffle on ``kh`` that the self-join then
+    reuses (same partitioning, Catalyst emits a ReusedExchange for the two
+    sides) — instead of a separate groupBy + anti-join pass. There is NO
+    broadcast anywhere: the oversized-key set on a 100 TB web corpus is
+    itself unbounded, and force-broadcasting it (as round 2 did) risks
+    driver OOM; size filtering is a per-row predicate on the windowed count.
+    A 64-bit ``kh`` collision would only merge two blocks — extra candidates
+    get scored, none are lost (and a merged block crossing the size cap just
+    routes both blocks through the capped path).
     """
-    sizes = block_sizes(keys)
-    oversized = sizes.where(F.col("block_size") > max_block_size)
-    ok_keys = keys.join(F.broadcast(oversized.select("key")), "key", "left_anti")
+    from pyspark.sql import Window
+
+    keyed = keys.select("url", "key", F.xxhash64("key").alias("kh"))
+    sized = keyed.withColumn(
+        "block_size", F.count(F.lit(1)).over(Window.partitionBy("kh"))
+    )
+    oversized = (
+        sized.where(F.col("block_size") > max_block_size)
+        .groupBy("key")
+        .agg(F.max("block_size").alias("block_size"))
+    )
 
     # self-join on the 8-byte hash of the (long string) key: much smaller
-    # shuffle and faster comparisons. A 64-bit collision would only merge two
-    # blocks — extra candidates get scored, none are lost.
-    hk = ok_keys.select("url", F.xxhash64("key").alias("kh"))
-    a = hk.alias("a")
-    b = hk.alias("b")
+    # shuffle and faster comparisons.
+    ok = sized.where(F.col("block_size") <= max_block_size).select("url", "kh")
+    a = ok.alias("a")
+    b = ok.alias("b")
     pairs = (
         a.join(b, "kh")
         .where(F.col("a.url") < F.col("b.url"))
@@ -152,8 +192,6 @@ def candidate_pairs(
     )
 
     if oversized_strategy == "window_cap":
-        from pyspark.sql import Window
-
         # mega-blocks (> salt_factor * max_block_size) are pre-split by a
         # url-hash salt so no single task sorts the whole block — the same
         # bounded-recall trade the cap already makes (cross-salt pairs are
@@ -161,20 +199,20 @@ def candidate_pairs(
         # one straggler sorting millions of rows. Moderately-hot blocks
         # (<= salt_factor * cap) keep exact neighbor-cap semantics.
         salt_factor = 4
-        hot = keys.join(F.broadcast(oversized), "key")
+        hot = sized.where(F.col("block_size") > max_block_size)
         n_sub = F.greatest(
             F.lit(1),
             F.ceil(F.col("block_size") / F.lit(salt_factor * max_block_size)).cast("int"),
         )
         hot = hot.withColumn("salt", F.pmod(F.xxhash64("url"), n_sub))
-        w = Window.partitionBy("key", "salt").orderBy("url")
-        ranked = hot.select("key", "salt", "url", F.row_number().over(w).alias("rn"))
+        w = Window.partitionBy("kh", "salt").orderBy("url")
+        ranked = hot.select("kh", "salt", "url", F.row_number().over(w).alias("rn"))
         r1 = ranked.alias("r1")
         r2 = ranked.alias("r2")
         capped = (
             r1.join(
                 r2,
-                (F.col("r1.key") == F.col("r2.key"))
+                (F.col("r1.kh") == F.col("r2.kh"))
                 & (F.col("r1.salt") == F.col("r2.salt"))
                 & (F.col("r2.rn") > F.col("r1.rn"))
                 & (F.col("r2.rn") <= F.col("r1.rn") + neighbor_cap),

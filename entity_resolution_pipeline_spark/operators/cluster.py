@@ -81,6 +81,15 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
+def _edges_signature(e: DataFrame) -> tuple:
+    """Cheap order-insensitive fixpoint probe: (count, sum of edge hashes)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -125,14 +134,17 @@ def connected_components(
         )
         e_new = small.localCheckpoint(eager=True)
 
-        sig_row = e_new.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        e = e_new
+        sig = _edges_signature(e_new)
+        e_prev, e = e, e_new
         if sig == prev_sig:
-            break
+            # the (count, hash-sum) signature is a cheap fixpoint probe; a
+            # signature collision between successive DIFFERENT edge sets
+            # would terminate early, so confirm exactly before breaking.
+            # Counts already match (part of the signature), so one-direction
+            # exceptAll proves multiset equality. Runs at most once per
+            # convergence — O(one extra join) total, not per round.
+            if e_new.exceptAll(e_prev).isEmpty():
+                break
         prev_sig = sig
 
     # at fixpoint every edge is (node -> component root)

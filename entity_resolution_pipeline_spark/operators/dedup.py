@@ -39,9 +39,15 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, keep_id, group_size): exact duplicates by normalized text.
 
     keep_id = min doc_id of the group. One hash-shuffle; at 100 TB hash the
-    text first (xxhash64) so the shuffle key is 8 bytes, not the document.
+    text first so the shuffle key is 16 bytes, not the document. The key is
+    the FULL 128-bit md5 (as binary): a 64-bit key's birthday collisions
+    (~n^2/2^65) silently merge distinct documents into one dedup group at
+    trillion-doc scale — real data loss for a training pipeline; at 128
+    bits the bound is ~n^2/2^129, negligible for any feasible corpus.
     """
-    keyed = docs.select("doc_id", F.xxhash64(_NORM(F.col(text_col))).alias("tkey"))
+    keyed = docs.select(
+        "doc_id", F.unhex(F.md5(_NORM(F.col(text_col)))).alias("tkey")
+    )
     groups = keyed.groupBy("tkey").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
     )
@@ -54,6 +60,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n_anchors: int = 2,
     max_anchor_df: int = 64,
+    fallback_neighbor_cap: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Word-set Jaccard near-dup pairs, blocked on each doc's RAREST tokens.
 
@@ -68,7 +76,19 @@ def ngram_jaccard_pairs(
     Tokens with document frequency above ``max_anchor_df`` never anchor
     (they are not "rare"): this bounds every block at max_anchor_df docs —
     O(B^2) work per key stays bounded, the same skew policy as the ER
-    blocking stage. Verification is pure JVM: |intersect| / |union| over
+    blocking stage.
+
+    Anchor-less fallback (no silent drops): a document whose EVERY token
+    has df > max_anchor_df — exactly the common-boilerplate cluster whose
+    duplication is being hunted — previously exited near-dup detection
+    silently. Such docs now block on their single minimum-df token, and
+    because those fallback blocks are unbounded by construction, each doc
+    pairs only with its next ``fallback_neighbor_cap`` doc_id-ordered
+    neighbors (O(B*K) work; a near-identical cluster chain-connects and the
+    downstream connected-components closes it). Pass ``stats={}`` to get
+    ``stats['anchorless_docs']`` counted eagerly (one extra job) and logged.
+
+    Verification is pure JVM for both paths: |intersect| / |union| over
     distinct word arrays.
     """
     from pyspark.sql import Window
@@ -80,9 +100,8 @@ def ngram_jaccard_pairs(
         )
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok")).where(F.col("tok") != "")
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq")).where(
-        F.col("dfreq") <= max_anchor_df
-    )
+    dfreq_all = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    dfreq = dfreq_all.where(F.col("dfreq") <= max_anchor_df)
     w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
     bkeys = (
         tok.join(dfreq, "tok")
@@ -95,8 +114,41 @@ def ngram_jaccard_pairs(
         a.join(b, "bkey")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
-        .distinct()
     )
+
+    # ---- anchor-less fallback: min-df token + doc_id-neighbor cap ----
+    anchorless = d.select("doc_id").join(bkeys.select("doc_id"), "doc_id", "left_anti")
+    if stats is not None:
+        import logging
+
+        n_dropped = anchorless.count()
+        stats["anchorless_docs"] = int(n_dropped)
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_pairs: %d anchor-less docs routed to min-df fallback",
+            n_dropped,
+        )
+    fb_rank = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
+    fbk = (
+        tok.join(anchorless, "doc_id")
+        .join(dfreq_all, "tok")
+        .withColumn("rn", F.row_number().over(fb_rank))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("bkey"))
+    )
+    fb_block = Window.partitionBy("bkey").orderBy("doc_id")
+    fbn = fbk.withColumn("brn", F.row_number().over(fb_block))
+    f1, f2 = fbn.alias("f1"), fbn.alias("f2")
+    fb_cand = (
+        f1.join(
+            f2,
+            (F.col("f1.bkey") == F.col("f2.bkey"))
+            & (F.col("f2.brn") > F.col("f1.brn"))
+            & (F.col("f2.brn") <= F.col("f1.brn") + fallback_neighbor_cap),
+        )
+        .select(F.col("f1.doc_id").alias("doc_id1"), F.col("f2.doc_id").alias("doc_id2"))
+    )
+
+    cand = cand.unionByName(fb_cand).distinct()
     d1 = d.select(F.col("doc_id").alias("doc_id1"), F.col("toks").alias("toks1"))
     d2 = d.select(F.col("doc_id").alias("doc_id2"), F.col("toks").alias("toks2"))
     inter = F.size(F.array_intersect(F.col("toks1"), F.col("toks2")))

@@ -1,23 +1,27 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 A 100 TB training-data pipeline carries image/audio/video as ``binary``
-columns with typed metadata structs. The decode/resize/frame-sample kernels
-need codec libraries that are NOT in this container, so the *kernels* are
-stubbed (deterministic fake or NotImplementedError), while the Spark-side
-plumbing — schema, Arrow batch shape, partition sizing — is real and tested:
+columns with typed metadata structs. The Spark-side plumbing — schema,
+Arrow batch shape, 1->N frame explosion, partition sizing — is real and
+tested everywhere; the decode kernels auto-upgrade to real codecs when the
+libraries exist and otherwise fall back to deterministic fakes:
 
 - ``media_metadata``: sniff magic bytes + sizes (real, pure Python over
   Arrow batches).
-- ``decode_image_features``: mapInPandas with the production signature
-  (binary in, fixed-width float feature vector out); the decoder itself is a
-  deterministic fake (byte histogram) behind ``use_fake_decoder=True``, and
-  raises NotImplementedError otherwise so a real codec drop-in is one
-  function swap.
-- ``resize_images``: binary -> fixed-size binary + dims (the resize kernel
-  is a deterministic byte subsample/pad fake at the same single swap point).
-- ``sample_video_frames``: binary -> one row PER SAMPLED FRAME (the 1->N
-  Arrow batch shape a real ffmpeg frame sampler produces; fake frames are
-  deterministic equal-stride payload slices).
+- ``decode_image_features`` / ``resize_images``: try PIL at runtime
+  (``decoder='auto'``, the default); without it the deterministic fake
+  kernel (byte histogram / byte resample) runs. Every output row carries a
+  ``kernel`` column ('pil' or 'fake') so downstream consumers can tell
+  which path produced it.
+- ``sample_video_frames``: tries imageio(+pyav/ffmpeg) the same way; fake
+  frames are deterministic equal-stride payload slices.
+
+``decoder`` accepts 'auto' (real if available else fake), 'real' (raise
+NotImplementedError when no codec), 'fake' (always the stub — what the
+deterministic tests pin). The legacy ``use_fake_decoder`` flag maps onto
+these. No codec libraries ship in this container, so the real branches are
+import-gated best-effort paths; the contract (schemas, NULL handling,
+determinism of the fake) is what the tests pin.
 
 Pattern note: keep binary columns OUT of shuffles — derive features early,
 write them to their own table, and join by id. ``html`` in the ER pipeline
@@ -88,6 +92,44 @@ def media_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "payload") 
     return df.select(id_col, bin_col).mapInPandas(run, schema=META_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# codec resolution
+# ---------------------------------------------------------------------------
+
+def _image_backend() -> str | None:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return "pil"
+    except ImportError:
+        return None
+
+
+def _video_backend() -> str | None:
+    try:
+        import imageio.v3  # noqa: F401
+
+        return "imageio"
+    except ImportError:
+        return None
+
+
+def _resolve(decoder: str | None, use_fake_decoder: bool, backend: str | None,
+             what: str) -> str:
+    """-> 'fake' or the backend name. Raises for decoder='real' w/o codec."""
+    mode = decoder if decoder is not None else ("fake" if use_fake_decoder else "real")
+    if mode == "fake":
+        return "fake"
+    if backend is None:
+        if mode == "real":
+            raise NotImplementedError(
+                f"real {what} requires a codec library not present in this "
+                f"environment; use decoder='auto' or 'fake'"
+            )
+        return "fake"  # auto, no codec
+    return backend
+
+
 IMAGE_FEATURE_DIM = 16
 
 IMG_SCHEMA = StructType(
@@ -96,8 +138,22 @@ IMG_SCHEMA = StructType(
         StructField("features", ArrayType(FloatType())),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("kernel", StringType()),
     ]
 )
+
+
+def _fake_image_row(b) -> tuple[list[float], int, int]:
+    if b is None or len(b) == 0:
+        return [0.0] * IMAGE_FEATURE_DIM, 0, 0
+    arr = np.frombuffer(b, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=IMAGE_FEATURE_DIM, range=(0, 256))
+    # fake dimensions derived from payload size (deterministic)
+    return (
+        (hist / max(len(arr), 1)).astype(np.float32).tolist(),
+        int(len(arr) % 1024),
+        int((len(arr) // 1024) % 1024),
+    )
 
 
 def decode_image_features(
@@ -105,37 +161,46 @@ def decode_image_features(
     id_col: str = "id",
     bin_col: str = "payload",
     use_fake_decoder: bool = True,
+    decoder: str | None = None,
 ) -> DataFrame:
-    """binary -> fixed-width feature vector (production UDF signature).
+    """binary -> fixed-width feature vector + real-or-fake ``kernel`` tag.
 
-    STUB: no image codec is available in this container. With
-    ``use_fake_decoder`` the "decode" is a deterministic 16-bin byte
-    histogram (stable across processes); otherwise NotImplementedError —
-    swap in a real decoder (PIL/libvips) at that single point.
+    With PIL present (``decoder='auto'``/'real') the features are the
+    16-bin grayscale-pixel histogram and width/height are the decoded
+    dimensions; rows whose bytes fail to decode fall back to the fake
+    kernel for that row (tagged ``kernel='fake'``) instead of failing the
+    task. The fake kernel is a deterministic 16-bin byte histogram.
     """
+    kernel = _resolve(decoder, use_fake_decoder, _image_backend(), "image decoding")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if kernel == "pil":
+            import io
+
+            from PIL import Image
         for pdf in batches:
-            feats, ws, hs = [], [], []
+            feats, ws, hs, ks = [], [], [], []
             for b in pdf[bin_col]:
-                if not use_fake_decoder:
-                    raise NotImplementedError(
-                        "real image decoding requires a codec library not present "
-                        "in this environment; pass use_fake_decoder=True"
-                    )
-                if b is None or len(b) == 0:
-                    feats.append([0.0] * IMAGE_FEATURE_DIM)
-                    ws.append(0)
-                    hs.append(0)
-                    continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                hist, _ = np.histogram(arr, bins=IMAGE_FEATURE_DIM, range=(0, 256))
-                feats.append((hist / max(len(arr), 1)).astype(np.float32).tolist())
-                # fake dimensions derived from payload size (deterministic)
-                ws.append(int(len(arr) % 1024))
-                hs.append(int((len(arr) // 1024) % 1024))
+                if kernel == "pil" and b is not None and len(b) > 0:
+                    try:
+                        img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                        px = np.asarray(img, dtype=np.uint8).ravel()
+                        hist, _ = np.histogram(px, bins=IMAGE_FEATURE_DIM, range=(0, 256))
+                        feats.append((hist / max(px.size, 1)).astype(np.float32).tolist())
+                        ws.append(int(img.width))
+                        hs.append(int(img.height))
+                        ks.append("pil")
+                        continue
+                    except Exception:
+                        pass  # corrupt bytes: per-row fake fallback below
+                f, w, h = _fake_image_row(b)
+                feats.append(f)
+                ws.append(w)
+                hs.append(h)
+                ks.append("fake")
             yield pd.DataFrame(
-                {"id": pdf[id_col], "features": feats, "width": ws, "height": hs}
+                {"id": pdf[id_col], "features": feats, "width": ws,
+                 "height": hs, "kernel": ks}
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=IMG_SCHEMA)
@@ -147,6 +212,7 @@ RESIZE_SCHEMA = StructType(
         StructField("payload_resized", BinaryType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("kernel", StringType()),
     ]
 )
 
@@ -158,37 +224,52 @@ def resize_images(
     id_col: str = "id",
     bin_col: str = "payload",
     use_fake_decoder: bool = True,
+    decoder: str | None = None,
 ) -> DataFrame:
-    """binary -> fixed-size binary + dims (production resize signature).
+    """binary -> fixed-size binary + dims + ``kernel`` tag.
 
-    STUB kernel at the same single swap point as decode_image_features: the
-    fake "resize" strides/pads the byte stream to exactly target_w*target_h
-    bytes (deterministic, size-exact — the property the downstream fixed-
-    shape consumers rely on); a real implementation decodes + resamples.
+    PIL path: decode, bilinear-resize to (target_w, target_h), emit raw
+    grayscale bytes (size-exact: target_w*target_h). Fake path strides/pads
+    the byte stream to the same exact size — the property the downstream
+    fixed-shape consumers rely on either way. Per-row fallback on corrupt
+    bytes, like decode_image_features.
     """
     out_len = target_w * target_h
+    kernel = _resolve(decoder, use_fake_decoder, _image_backend(), "image resizing")
+
+    def _fake(b) -> bytes:
+        if b is None or len(b) == 0:
+            return bytes(out_len)
+        arr = np.frombuffer(b, dtype=np.uint8)
+        idx = (np.arange(out_len) * len(arr) // out_len) % len(arr)
+        return arr[idx].tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if kernel == "pil":
+            import io
+
+            from PIL import Image
         for pdf in batches:
-            payloads = []
+            payloads, ks = [], []
             for b in pdf[bin_col]:
-                if not use_fake_decoder:
-                    raise NotImplementedError(
-                        "real image resizing requires a codec library not present "
-                        "in this environment; pass use_fake_decoder=True"
-                    )
-                if b is None or len(b) == 0:
-                    payloads.append(bytes(out_len))
-                    continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                idx = (np.arange(out_len) * len(arr) // out_len) % len(arr)
-                payloads.append(arr[idx].tobytes())
+                if kernel == "pil" and b is not None and len(b) > 0:
+                    try:
+                        img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                        img = img.resize((target_w, target_h))
+                        payloads.append(img.tobytes())
+                        ks.append("pil")
+                        continue
+                    except Exception:
+                        pass
+                payloads.append(_fake(b))
+                ks.append("fake")
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "payload_resized": payloads,
                     "width": [target_w] * len(pdf),
                     "height": [target_h] * len(pdf),
+                    "kernel": ks,
                 }
             )
 
@@ -200,6 +281,7 @@ FRAMES_SCHEMA = StructType(
         StructField("id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame", BinaryType()),
+        StructField("kernel", StringType()),
     ]
 )
 
@@ -210,34 +292,58 @@ def sample_video_frames(
     id_col: str = "id",
     bin_col: str = "payload",
     use_fake_decoder: bool = True,
+    decoder: str | None = None,
 ) -> DataFrame:
     """binary video -> one row per sampled frame (1 -> N batch shape).
 
     The production shape an ffmpeg-backed sampler produces: each input row
     explodes into up to ``n_frames`` output rows inside the Arrow pass (no
-    JVM-side explode of big binaries). STUB kernel: fake frames are the
-    payload cut into equal strides (deterministic boundaries); empty/NULL
-    payloads produce zero rows — exactly how a corrupt video behaves.
+    JVM-side explode of big binaries). imageio path (when installed):
+    equal-stride frame picks re-encoded as PNG bytes. Fake path: payload cut
+    into equal strides (deterministic boundaries). Empty/NULL payloads
+    produce zero rows — exactly how a corrupt video behaves; a payload that
+    fails real decoding falls back to fake strides for that row.
     """
+    kernel = _resolve(decoder, use_fake_decoder, _video_backend(), "frame sampling")
+
+    def _fake_rows(rid, b, ids, idxs, frames, ks):
+        arr = np.frombuffer(b, dtype=np.uint8)
+        k = min(n_frames, len(arr))
+        bounds = [len(arr) * i // k for i in range(k + 1)]
+        for i in range(k):
+            ids.append(rid)
+            idxs.append(i)
+            frames.append(arr[bounds[i]:bounds[i + 1]].tobytes())
+            ks.append("fake")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if kernel == "imageio":
+            import imageio.v3 as iio
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, ks = [], [], [], []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
-                if not use_fake_decoder:
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg, not present in "
-                        "this environment; pass use_fake_decoder=True"
-                    )
                 if b is None or len(b) == 0:
                     continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                k = min(n_frames, len(arr))
-                bounds = [len(arr) * i // k for i in range(k + 1)]
-                for i in range(k):
-                    ids.append(rid)
-                    idxs.append(i)
-                    frames.append(arr[bounds[i]:bounds[i + 1]].tobytes())
-            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+                if kernel == "imageio":
+                    try:
+                        all_frames = list(iio.imiter(bytes(b)))
+                        k = min(n_frames, len(all_frames))
+                        if k > 0:
+                            picks = [len(all_frames) * i // k for i in range(k)]
+                            for i, p in enumerate(picks):
+                                ids.append(rid)
+                                idxs.append(i)
+                                frames.append(
+                                    iio.imwrite("<bytes>", all_frames[p],
+                                                extension=".png")
+                                )
+                                ks.append("imageio")
+                            continue
+                    except Exception:
+                        pass
+                _fake_rows(rid, b, ids, idxs, frames, ks)
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame": frames, "kernel": ks}
+            )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=FRAMES_SCHEMA)

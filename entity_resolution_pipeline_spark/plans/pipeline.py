@@ -46,7 +46,7 @@ from ..operators.preprocess import (
     strings_long,
     unique_strings,
 )
-from ..sources.catalog import Catalog, Manifest, fingerprint_df
+from ..sources.catalog import Catalog, Manifest, fingerprint_df, fingerprint_files
 
 STAGES = [
     "preprocess",
@@ -103,15 +103,38 @@ class ERPipeline:
     def run(self, web_pages: DataFrame, labeled_pairs: DataFrame | None = None,
             force: bool = False) -> dict:
         cfg = self.config
-        # content-sensitive fingerprint: url alone would silently reuse stale
-        # records when the same urls arrive with changed text
-        input_fp = fingerprint_df(web_pages, ["url", "text"])
-        n_pages = int(input_fp.split(":")[0])
-
-        records = self._run_stage(
-            "preprocess", input_fp, n_pages,
-            lambda: preprocess_records(web_pages), "records", force,
-        )
+        # two-level resume fingerprinting for the (100 TB) input:
+        # 1. metadata level — md5 of the source file manifest (path, size,
+        #    mtime_ns): a stat-only probe, so deciding to SKIP the input
+        #    never scans it. The parquet-dir analogue of comparing Iceberg
+        #    snapshot ids.
+        # 2. content level — only when the manifest changed (or the input is
+        #    not file-backed): xxhash64(url,text) aggregate. Content-
+        #    sensitive, catches rewritten-but-identical files, costs a scan.
+        meta_fp = fingerprint_files(web_pages)
+        if (
+            not force
+            and meta_fp is not None
+            and self.catalog.exists("records")
+            and self.manifest.stage_complete("preprocess", meta_fp)
+        ):
+            self.manifest.record_skipped("preprocess", meta_fp)
+            records = self.catalog.read("records")
+            input_fp = meta_fp
+            n_pages = int(records.count())
+        else:
+            # content-sensitive fingerprint: url alone would silently reuse
+            # stale records when the same urls arrive with changed text
+            input_fp = fingerprint_df(web_pages, ["url", "text"])
+            n_pages = int(input_fp.split(":")[0])
+            records = self._run_stage(
+                "preprocess", input_fp, n_pages,
+                lambda: preprocess_records(web_pages), "records", force,
+            )
+            if meta_fp is not None:
+                # register the manifest fingerprint too, so the NEXT run can
+                # skip on metadata alone
+                self.manifest.record_alias("preprocess", meta_fp)
 
         # dedup dimensions (A1-A4) — cheap, always rebuilt with records
         long_df = strings_long(records)
@@ -337,6 +360,29 @@ class ERPipeline:
         out = {"all_pairs": conf_of(joined), "blocked_pairs": conf_of(blocked)}
         self.metrics["evaluation"] = out
         return out
+
+    def analyze_misclassifications(self, labeled_pairs: DataFrame) -> dict:
+        """Misclassification analysis (reference misclass.py / analyze_pairs
+        analogue): FP/FN labeled pairs joined back to both sides' fields,
+        features, and confidence. Writes the ``misclassified_pairs`` table
+        and returns per-error-type summary stats in ``metrics``."""
+        from ..operators.analyze import error_summary, misclassified_pairs
+
+        lp = labeled_pairs.select(
+            F.least("left", "right").alias("url1"),
+            F.greatest("left", "right").alias("url2"),
+            normalize_match(F.col("match")).alias("label"),
+        )
+        errors = misclassified_pairs(
+            self.catalog.read("scored_pairs"),
+            lp,
+            self.catalog.read("records"),
+            threshold=self.config.decision_threshold,
+        )
+        self.catalog.write(errors, "misclassified_pairs")
+        summary = error_summary(self.catalog.read("misclassified_pairs"))
+        self.metrics["misclassification"] = summary
+        return summary
 
     def impute(self, fields=("provision", "subjects"), method: str = "average",
                sim_threshold: float = 0.30, max_donors: int = 10) -> dict:

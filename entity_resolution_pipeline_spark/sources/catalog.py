@@ -100,11 +100,19 @@ class Catalog:
         INSERT`` (reference upserts by deterministic key,
         /root/reference/src/indexing.py:668-702).
 
-        read-old -> anti-join on key -> union new -> stage -> atomic rename.
+        read-old -> anti-join on key -> union new -> stage -> swap.
         Staging to a sibling dir (not persist+overwrite) is deliberate: the
-        output must not overwrite files still being read, and the rename
-        keeps the old table intact if the write fails mid-job.
+        output must not overwrite files still being read. The swap is
+        backup-then-rename (old -> ``name__old``, staging -> ``name``, drop
+        backup) so a crash at ANY point leaves a complete version of the
+        table at a recoverable path — never a window where the only copy is
+        gone. A leftover backup from a crashed merge is restored on the next
+        call before merging.
         """
+        backup = name + "__backup"
+        if not self.exists(name) and self.exists(backup):
+            # previous merge crashed between the two renames: restore
+            os.rename(self.path(backup), self.path(name))
         if not self.exists(name):
             self.write(df, name)
             return
@@ -113,8 +121,40 @@ class Catalog:
         merged = keep.unionByName(df.select(*old.columns))
         staging = name + "__staging"
         self.write(merged, staging)
-        self.drop(name)
+        self.drop(backup)  # stale backup from an older completed merge
+        os.rename(self.path(name), self.path(backup))
         os.rename(self.path(staging), self.path(name))
+        self.drop(backup)
+
+
+def fingerprint_files(df: DataFrame) -> str | None:
+    """Metadata-level source fingerprint: md5 over the sorted file manifest
+    (path, size, mtime_ns) of the DataFrame's input files — the parquet-dir
+    analogue of an Iceberg snapshot id. Listing + stat only, NO data scan:
+    this is what makes resume probing O(#files) instead of O(input bytes)
+    at 100 TB (round 2 full-scanned the input to decide to skip it).
+    Returns None when the plan has no file source (in-memory DF) or a file
+    is not locally stat-able (remote URI) — callers then fall back to the
+    content fingerprint.
+    """
+    import hashlib
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    h = hashlib.md5()
+    for uri in sorted(files):
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        p = unquote(parsed.path)
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return f"meta:{len(files)}:{h.hexdigest()}"
 
 
 def fingerprint_df(df: DataFrame, key_cols: list[str]) -> str:
@@ -180,6 +220,17 @@ class Manifest:
             ],
             schema=MANIFEST_SCHEMA,
         ).withColumn("committed_at", F.lit(now).cast("timestamp"))
+        self.catalog.append(df, self.TABLE)
+
+    def record_alias(self, stage: str, input_fingerprint: str) -> None:
+        """Record an ALTERNATE fingerprint under which this stage also
+        counts complete — e.g. the metadata-level (file-manifest)
+        fingerprint alongside the content one, so the next run can skip
+        without scanning the input. partition_id -2 marks alias rows."""
+        df = self.catalog.spark.createDataFrame(
+            [(self.run_id, stage, -2, "ok", 0, 0, 0, input_fingerprint, None)],
+            schema=MANIFEST_SCHEMA,
+        ).withColumn("committed_at", F.current_timestamp())
         self.catalog.append(df, self.TABLE)
 
     def record_skipped(self, stage: str, input_fingerprint: str) -> None:

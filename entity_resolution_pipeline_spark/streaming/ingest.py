@@ -62,13 +62,15 @@ def dedup_stream(docs: DataFrame, text_col: str = "text", ts_col: str = "ts",
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: first-seen row per normalized-text hash wins.
 
-    The training-data ingest shape: state is keyed on the 8-byte
-    xxhash64(normalized text) — never the document bytes — and bounded by
+    The training-data ingest shape: state is keyed on the 16-byte
+    md5(normalized text) — never the document bytes — and bounded by
     the event-time watermark (``dropDuplicatesWithinWatermark``), so state
-    size ~ distinct keys per watermark horizon, not corpus size. Batch
-    inputs degrade to a plain dropDuplicates (same key).
+    size ~ distinct keys per watermark horizon, not corpus size. The full
+    128-bit digest (not a 64-bit truncation) keeps birthday collisions —
+    which would silently DROP distinct documents here — at ~n^2/2^129.
+    Batch inputs degrade to a plain dropDuplicates (same key).
     """
-    key = F.xxhash64(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    key = F.unhex(F.md5(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
     keyed = docs.withColumn("tkey", key)
     if docs.isStreaming:
         return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["tkey"])

@@ -136,6 +136,28 @@ def test_window_cap_salts_mega_blocks(spark):
     assert sorted(got) == sorted(got2)
 
 
+def test_candidate_pairs_no_forced_broadcast(spark):
+    """The oversized-key set is unbounded on a 100 TB corpus: the plan must
+    not hint-broadcast it (round-2 did — driver-OOM risk). With auto
+    broadcast disabled, no BroadcastExchange may appear anywhere: the hint
+    was the only thing that could put one there."""
+    rows = [(f"u{i:03d}", "hot") for i in range(50)] + [("a", "c1"), ("b", "c1")]
+    keys = _keys_df(spark, rows)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs, oversized = candidate_pairs(keys, max_block_size=5)
+        analyzed = pairs._jdf.queryExecution().analyzed().toString()
+        assert "broadcast" not in analyzed.lower()  # no hint in the logical plan
+        physical = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in physical
+        # behavior unchanged: oversized still logged, cold pair still found
+        assert oversized.collect()[0]["block_size"] == 50
+        assert ("a", "b") in {(r["url1"], r["url2"]) for r in pairs.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_dedup_orientation(spark):
     keys = _keys_df(spark, [("b", "k"), ("a", "k"), ("a", "k2"), ("b", "k2")])
     pairs, _ = candidate_pairs(keys, max_block_size=10)

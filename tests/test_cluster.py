@@ -39,6 +39,21 @@ def test_cc_two_components_and_dupes(spark):
     assert m["x"] == m["y"] == "x"
 
 
+def test_cc_signature_collision_cannot_terminate_early(spark, monkeypatch):
+    """The (count, hash-sum) signature is only a probe: force it to collide
+    on EVERY round (constant stub) and the exact exceptAll confirmation must
+    keep iterating until the true fixpoint — a long chain whose intermediate
+    rounds would otherwise be returned half-contracted."""
+    from entity_resolution_pipeline_spark.operators import cluster as C
+
+    monkeypatch.setattr(C, "_edges_signature", lambda e: (0, 0))
+    nodes = [f"n{i:02d}" for i in range(16)]
+    df = spark.createDataFrame(list(zip(nodes, nodes[1:])), "src string, dst string")
+    m = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+    assert set(m) == set(nodes)
+    assert set(m.values()) == {"n00"}
+
+
 def test_cc_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert connected_components(df).count() == 0

@@ -50,6 +50,76 @@ class TestDedup:
         assert out[2]["keep_id"] == 0  # whitespace-normalized dup
         assert out[3]["group_size"] == 1
 
+    def test_ngram_jaccard_anchorless_fallback(self, spark):
+        """A boilerplate cluster where EVERY token exceeds max_anchor_df
+        used to exit near-dup detection silently (round-2 recall cliff);
+        the min-df fallback must still connect it, and the drop count must
+        be reported via stats."""
+        rows = [(i, "common boiler plate text") for i in range(6)]
+        rows += [(10, "unique alpha beta"), (11, "unique alpha gamma")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats: dict = {}
+        out = ngram_jaccard_pairs(df, threshold=0.9, max_anchor_df=3, stats=stats)
+        got = {(r["doc_id1"], r["doc_id2"]) for r in out.collect()}
+        # all 15 pairs of the identical 6-doc cluster found via fallback
+        assert {(i, j) for i in range(6) for j in range(i + 1, 6)} <= got
+        assert stats["anchorless_docs"] == 6
+
+    def test_ngram_jaccard_fallback_neighbor_cap_bounds_work(self, spark):
+        """Fallback blocks are unbounded by construction — each doc may pair
+        with at most fallback_neighbor_cap forward neighbors."""
+        rows = [(i, "same words every time") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ngram_jaccard_pairs(
+            df, threshold=0.9, max_anchor_df=3, fallback_neighbor_cap=2
+        )
+        got = [(r["doc_id1"], r["doc_id2"]) for r in out.collect()]
+        assert len(got) == 2 * 20 - 3  # B*K - K*(K+1)/2
+        from collections import Counter
+
+        fwd = Counter(p[0] for p in got)
+        assert max(fwd.values()) <= 2
+        # chain still connects the cluster: every doc appears in some pair
+        touched = {x for p in got for x in p}
+        assert touched == set(range(20))
+
+    def test_exact_key_is_128_bit(self, spark):
+        """Collision-safety contract for the 100 TB tier: the dedup key must
+        be the full 128-bit md5, not a 64-bit hash whose birthday collisions
+        (~n^2/2^65) silently merge distinct documents.
+
+        A real xxhash64 collision pair is infeasible to craft here, so the
+        stand-in demonstrates the failure mode with a truncated key: texts
+        engineered to collide in the LOW 16 bits of their md5 merge under a
+        16-bit-truncated key (the scaled-down analogue of 64-bit birthday
+        collisions at trillion-doc scale) but stay separate in the shipped
+        operator."""
+        import hashlib
+
+        # find two distinct texts whose md5 shares the last 4 hex chars
+        seen: dict[str, str] = {}
+        pair = None
+        i = 0
+        while pair is None:
+            t = f"document body {i}"
+            tail = hashlib.md5(t.encode()).hexdigest()[-4:]
+            if tail in seen:
+                pair = (seen[tail], t)
+            seen[tail] = t
+            i += 1
+        df = spark.createDataFrame(
+            [(1, pair[0]), (2, pair[1])], "doc_id long, text string"
+        )
+        # truncated stand-in key: the two docs DO collide
+        trunc = df.select(
+            F.substring(F.md5("text"), 29, 4).alias("k")
+        ).distinct().count()
+        assert trunc == 1
+        # shipped 128-bit operator: they stay distinct groups
+        out = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+        assert out[1]["keep_id"] == 1 and out[1]["group_size"] == 1
+        assert out[2]["keep_id"] == 2 and out[2]["group_size"] == 1
+
     def test_ngram_jaccard(self, spark):
         pairs = {(r["doc_id1"], r["doc_id2"]): r["jaccard"]
                  for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
@@ -165,6 +235,56 @@ class TestTextStats:
         out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
         for i, t in rows:
             assert out[i] == detect_language(t), (i, t)
+
+    LANG_FIXTURES = {
+        "da": "det er en god dag og vi skal til byen for at købe brød og mælk",
+        "de": "der schnelle braune fuchs springt über den faulen hund und die kinder lachen",
+        "en": "the quick brown fox jumps over the lazy dog and the children are laughing",
+        "es": "el perro corre en el parque y la niña come una manzana con su madre",
+        "fi": "tämä on hyvä päivä ja me menemme kaupunkiin ostamaan leipää ja maitoa",
+        "fr": "le chien court dans le parc et la fille mange une pomme avec sa mère",
+        "id": "anjing itu berlari di taman dan anak itu makan apel dengan ibunya yang baik",
+        "it": "il cane corre nel parco e la bambina mangia una mela con la sua madre che sorride",
+        "nl": "de hond rent in het park en het meisje eet een appel met haar moeder vandaag",
+        "pl": "pies biegnie w parku a dziewczynka je jabłko ze swoją matką która się uśmiecha",
+        "pt": "o cão corre no parque e a menina come uma maçã com a sua mãe que está feliz",
+        "sv": "hunden springer i parken och flickan äter ett äpple med sin mamma som är glad",
+        "tr": "köpek parkta koşuyor ve kız annesiyle birlikte bir elma yiyor bugün hava güzel",
+    }
+
+    def test_language_id_v2_accuracy_per_language(self, spark):
+        """One in-language fixture sentence per supported language must be
+        classified correctly by the trigram operator; junk/empty -> und."""
+        from entity_resolution_pipeline_spark.operators.textstats import language_id_v2
+
+        langs = sorted(self.LANG_FIXTURES)
+        rows = [(i, self.LANG_FIXTURES[lang]) for i, lang in enumerate(langs)]
+        rows += [(100, ""), (101, "zzz qqq"), (102, "9082 3412 777")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["lang_pred"] for r in language_id_v2(docs).collect()}
+        for i, lang in enumerate(langs):
+            assert out[i] == lang, (lang, out[i])
+        assert out[100] == out[101] == out[102] == "und"
+
+    def test_language_id_v2_matches_python_twin(self, spark):
+        """JVM operator == detect_language_trigram row for row (incl. the
+        tie-break and the min-hits floor)."""
+        from entity_resolution_pipeline_spark.functions.text import (
+            detect_language_trigram,
+        )
+        from entity_resolution_pipeline_spark.operators.textstats import language_id_v2
+
+        rows = [(i, t) for i, t in enumerate(self.LANG_FIXTURES.values())]
+        rows += [
+            (50, ""),
+            (51, "a"),
+            (52, "the de het und  och   ja"),  # cross-language soup
+            (53, "Der  HUND    und die Katze"),  # case + ws normalization
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["lang_pred"] for r in language_id_v2(docs).collect()}
+        for i, t in rows:
+            assert out[i] == detect_language_trigram(t), (i, t)
 
     def test_fingerprints_match_kernel(self, spark):
         """JVM winnowing fingerprints == Python md5-60bit reference."""

@@ -171,6 +171,34 @@ class TestMinHash:
         # band index is encoded in the bucket id
         assert len({b >> 32 for b in bh}) == 16
 
+    def test_signatures_batch_matches_per_row(self):
+        """The vectorized batch kernel used by the blocking stage must be
+        value-identical to signature() — it feeds the F1-gated candidate
+        set, so any drift changes candidate pairs."""
+        import random
+
+        rng = random.Random(7)
+        words = ["alpha", "beta", "gamma", "delta", "smith", "john", "1840", "x"]
+        texts = [
+            " ".join(rng.choices(words, k=rng.randint(0, 40))) for _ in range(60)
+        ]
+        texts += ["", "ab", "abcd", "abcde", "a" * 5000]  # edge lengths
+        for num_perm in (16, 64):
+            mh = MinHasher(num_perm=num_perm, seed=42)
+            batch = mh.signatures_batch(texts)
+            for i, t in enumerate(texts):
+                assert np.array_equal(batch[i], mh.signature(t)), (i, t[:30])
+
+    def test_signatures_batch_megadoc_perm_block_path(self):
+        """A doc long enough to trip the perm-block fallback (> 4x the
+        64 MB chunk target for num_perm=64, i.e. >524k shingles) still
+        matches the per-row kernel exactly."""
+        mh = MinHasher(num_perm=64, seed=1)
+        big = "abcdefgh " * 70_000  # ~630k chars -> ~630k char-5 shingles
+        batch = mh.signatures_batch(["small text", big])
+        assert np.array_equal(batch[0], mh.signature("small text"))
+        assert np.array_equal(batch[1], mh.signature(big))
+
     def test_simhash(self):
         a = simhash64("the quick brown fox jumps over the lazy dog")
         b = simhash64("the quick brown fox jumps over the lazy cat")

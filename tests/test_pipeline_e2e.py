@@ -89,6 +89,78 @@ def test_resume_recomputes_on_input_change(pipeline_run, spark):
     assert res3["n_pages"] > 0
 
 
+def test_metadata_resume_skips_without_input_scan(spark, tmp_path_factory):
+    """A resumed run over an UNCHANGED file manifest must decide to skip
+    from file metadata alone — no scan of the input table. Proven the hard
+    way: after the first run the input parquet files are overwritten with
+    zero bytes IN PLACE (same path, size, mtime_ns), so any attempt to
+    actually read them throws; a green second run is a no-scan proof."""
+    import os
+
+    wh = str(tmp_path_factory.mktemp("erp_wh_meta"))
+    src = str(tmp_path_factory.mktemp("wp_src"))
+    web_pages_df(spark, 40).write.mode("overwrite").parquet(src)
+    lp = spark.createDataFrame(labeled_pairs_pdf(40, 200))
+
+    wp1 = spark.read.parquet(src)
+    pipe = ERPipeline(spark, wh, ERConfig())
+    res1 = pipe.run(wp1, lp)
+
+    schema = wp1.schema
+    n_corrupted = 0
+    for root, _, files in os.walk(src):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            with open(p, "r+b") as f:
+                f.write(b"\x00" * st.st_size)
+            os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+            n_corrupted += 1
+    assert n_corrupted > 0
+
+    # explicit schema: even DataFrame CREATION must not read a footer
+    wp2 = spark.read.schema(schema).parquet(src)
+    pipe2 = ERPipeline(spark, wh, ERConfig())
+    res2 = pipe2.run(wp2, lp)
+    m2 = pipe2.manifest.read().where(
+        (F.col("run_id") == pipe2.manifest.run_id) & (F.col("status") == "skipped")
+    )
+    skipped = {r["stage"] for r in m2.select("stage").distinct().collect()}
+    assert "preprocess" in skipped
+    assert res2["n_pages"] == res1["n_pages"]
+    assert res2["evaluation"] == res1["evaluation"]
+
+
+def test_metadata_resume_detects_manifest_change(spark, tmp_path_factory):
+    """Touching a file (mtime change) invalidates the metadata fingerprint;
+    the content fingerprint then still detects identical content and skips,
+    but only after a real scan — the documented two-level fallback."""
+    import os
+    import time as _time
+
+    wh = str(tmp_path_factory.mktemp("erp_wh_meta2"))
+    src = str(tmp_path_factory.mktemp("wp_src2"))
+    web_pages_df(spark, 40).write.mode("overwrite").parquet(src)
+    lp = spark.createDataFrame(labeled_pairs_pdf(40, 200))
+    pipe = ERPipeline(spark, wh, ERConfig())
+    pipe.run(spark.read.parquet(src), lp)
+
+    for root, _, files in os.walk(src):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(root, fn))  # content identical, mtime new
+    _time.sleep(0.01)
+    pipe2 = ERPipeline(spark, wh, ERConfig())
+    pipe2.run(spark.read.parquet(src), lp)
+    m2 = pipe2.manifest.read().where(F.col("run_id") == pipe2.manifest.run_id)
+    # content fingerprint matched -> stage skipped (not recomputed)
+    assert m2.where(
+        (F.col("stage") == "preprocess") & (F.col("status") == "skipped")
+    ).count() > 0
+
+
 def test_resume_retrain_invalidates_scores(spark, tmp_path_factory):
     """Same pages + same blocking keys but a different trained model must
     recompute the score stage (the fingerprint mixes in the model digest)."""
@@ -181,6 +253,80 @@ def test_table_diff(pipeline_run, spark):
     assert d["added"] == 1 and d["missing"] == 1
     assert d["added_sample"] == [(1,)]
     assert d["missing_sample"] == [(4,)]
+
+
+def _norm_lp(lp):
+    from entity_resolution_pipeline_spark.plans.pipeline import normalize_match
+
+    return lp.select(
+        F.least("left", "right").alias("url1"),
+        F.greatest("left", "right").alias("url2"),
+        normalize_match(F.col("match")).alias("label"),
+    )
+
+
+def test_misclassified_pairs_operator_surfaces_fns_with_evidence(pipeline_run):
+    """With an impossible threshold every scored label-1 pair becomes an FN:
+    all of them must surface with both sides' fields and a feature row."""
+    from entity_resolution_pipeline_spark.operators.analyze import misclassified_pairs
+    from entity_resolution_pipeline_spark.operators.pairs import FEATURE_NAMES
+
+    pipe, _, wp, lp, wh = pipeline_run
+    scored = pipe.catalog.read("scored_pairs")
+    records = pipe.catalog.read("records")
+    lpn = _norm_lp(lp)
+    errors = misclassified_pairs(scored, lpn, records, threshold=2.0)
+    rows = errors.collect()
+    expected_fn = lpn.where(F.col("label") == 1).join(
+        scored, ["url1", "url2"], "left_semi"
+    ).count()
+    assert expected_fn > 0
+    assert len(rows) == expected_fn
+    for r in rows[:50]:
+        assert r["error_type"] == "FN" and r["label"] == 1 and r["pred"] == 0
+        assert len(r["features"]) == len(FEATURE_NAMES)
+        assert r["person1"] is not None and r["person2"] is not None
+
+
+def test_pipeline_misclassification_analysis(pipeline_run):
+    """Pipeline wiring: errors at the real threshold match a manual join and
+    land in the misclassified_pairs catalog table + metrics."""
+    pipe, _, wp, lp, wh = pipeline_run
+    summary = pipe.analyze_misclassifications(lp)
+    errors = pipe.catalog.read("misclassified_pairs")
+    thr = pipe.config.decision_threshold
+    scored = pipe.catalog.read("scored_pairs")
+    expected = (
+        _norm_lp(lp)
+        .join(scored, ["url1", "url2"])
+        .where(
+            ((F.col("confidence") >= thr).cast("int") != F.col("label"))
+        )
+        .count()
+    )
+    assert errors.count() == expected
+    assert sum(v["n"] for v in summary.values()) == expected
+    for r in errors.collect():
+        pred = 1 if r["confidence"] >= thr else 0
+        assert pred != r["label"]
+        assert r["error_type"] == ("FP" if pred == 1 else "FN")
+    assert "misclassification" in pipe.metrics
+
+
+def test_markdown_run_report(pipeline_run):
+    """§7.2 item 7: the report sink renders the run's metrics (incl. the F1
+    gate value) to reports/run_<id>.md in the warehouse."""
+    from entity_resolution_pipeline_spark.plans.report import write_run_report
+
+    pipe, result, *_ = pipeline_run
+    path = write_run_report(pipe)
+    assert path.endswith(f"run_{pipe.manifest.run_id}.md")
+    with open(path) as f:
+        body = f.read()
+    f1 = pipe.metrics["evaluation"]["blocked_pairs"]["f1"]
+    assert f"F1 = {f1:.4f}" in body
+    assert "## Stages" in body and "## Cluster size distribution" in body
+    assert "## Feature importance" in body
 
 
 def test_impute_enrichment(pipeline_run):

@@ -463,6 +463,43 @@ def q_text_langid_v2(spark, sf_dir):
     return _ts.language_id_v2(_t(spark, sf_dir, "documents"))
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    g = _ts.gopher_quality(_t(spark, sf_dir, "documents"))
+    return g.select(
+        "doc_id", "n_words",
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("frac_dup_lines", 6).alias("frac_dup_lines"),
+        F.round("frac_ellipsis_lines", 6).alias("frac_ellipsis_lines"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("frac_alpha_words", 6).alias("frac_alpha_words"),
+    )
+
+
+def q_text_redact_pii(spark, sf_dir):
+    return _ts.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+
+
+def q_sample_stratified(spark, sf_dir):
+    from entity_resolution_pipeline_spark.operators.sample import sample_by_group
+
+    return sample_by_group(
+        _t(spark, sf_dir, "documents"), "source", SAMPLE_RATES,
+        default_rate=0.1, key_col="doc_id", salt="s1",
+    ).select("doc_id", "source")
+
+
+def q_sample_split(spark, sf_dir):
+    from entity_resolution_pipeline_spark.operators.sample import split_train_holdout
+
+    return split_train_holdout(
+        _t(spark, sf_dir, "documents"), holdout_frac=0.05,
+        key_col="doc_id", salt="split1",
+    ).select("doc_id", "split")
+
+
 # --------------------------------------------------------------------------
 # dedup / similarity
 # --------------------------------------------------------------------------
@@ -606,6 +643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_langid_v2": q_text_langid_v2,
+        "text_gopher_quality": q_text_gopher_quality,
+        "text_redact_pii": q_text_redact_pii,
+        "sample_stratified": q_sample_stratified,
+        "sample_split": q_sample_split,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -664,6 +705,35 @@ def _langid_v2_sql(norm: str) -> str:
                    ELSE '{langs[0]}' END AS lang_pred
             FROM h
         """
+
+
+def _sample_sql() -> str:
+    """DuckDB replay of sample_by_group: identical md5-60bit buckets and
+    identical precomputed BIGINT thresholds (exact integer compare — no
+    float-boundary drift between engines)."""
+    from entity_resolution_pipeline_spark.operators.sample import threshold_for
+
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {threshold_for(r)}"
+        for g, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              < (CASE {cases} ELSE {threshold_for(0.1)} END)
+    """
+
+
+def _split_sql() -> str:
+    from entity_resolution_pipeline_spark.operators.sample import threshold_for
+
+    return f"""
+        SELECT doc_id,
+          CASE WHEN ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT < {threshold_for(0.05)}
+               THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -965,6 +1035,65 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "text_langid_v2": _langid_v2_sql(norm),
+        "text_gopher_quality": f"""
+            WITH d AS (
+              SELECT doc_id, text AS raw,
+                     CASE WHEN lower({norm}) = '' THEN []::VARCHAR[]
+                          ELSE str_split(lower({norm}), ' ') END AS words,
+                     CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+                          ELSE str_split(text, chr(10)) END AS lines
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(words) AS n_words_all,
+                CASE WHEN len(lines) > 0 THEN
+                  (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+                  ELSE 0 END AS frac_dup_lines,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE
+                    / len(lines)
+                  ELSE 0 END AS frac_ellipsis_lines,
+                coalesce((length(raw) - length(replace(raw, '#', '')))
+                  + (length(raw) - length(replace(raw, '…', '')))
+                  + len(regexp_extract_all(raw, '\\.\\.\\.')), 0) AS n_symbols,
+                len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words
+              FROM d),
+            tok AS (SELECT doc_id, unnest(words) AS tok FROM d),
+            tw AS (
+              SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_words FROM
+                (SELECT doc_id, tok, count(*) AS cnt FROM tok
+                 WHERE tok <> '' GROUP BY doc_id, tok)
+              GROUP BY doc_id)
+            SELECT b.doc_id,
+              coalesce(tw.n_words, 0)::BIGINT AS n_words,
+              round(CASE WHEN coalesce(tw.n_words, 0) > 0
+                    THEN tw.top_cnt::DOUBLE / tw.n_words ELSE 0 END, 6) AS top_word_frac,
+              round(b.frac_dup_lines, 6) AS frac_dup_lines,
+              round(b.frac_ellipsis_lines, 6) AS frac_ellipsis_lines,
+              round(CASE WHEN coalesce(tw.n_words, 0) > 0
+                    THEN b.n_symbols::DOUBLE / tw.n_words ELSE 0 END, 6) AS symbol_word_ratio,
+              round(CASE WHEN coalesce(tw.n_words, 0) > 0
+                    THEN b.n_alpha_words::DOUBLE / tw.n_words ELSE 0 END, 6) AS frac_alpha_words
+            FROM base b LEFT JOIN tw USING (doc_id)
+        """,
+        "text_redact_pii": """
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{9,}\\b', '<ID>', 'g') AS clean_text,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+              len(regexp_extract_all(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ips,
+              len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{9,}\\b'))::BIGINT AS n_longnums
+            FROM documents
+        """,
+        "sample_stratified": _sample_sql(),
+        "sample_split": _split_sql(),
         "dedup_exact": f"""
             WITH k AS (SELECT doc_id, {norm} AS nt FROM documents),
             g AS (SELECT nt, min(doc_id) AS keep_id, count(*) AS group_size

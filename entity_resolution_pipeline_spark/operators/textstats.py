@@ -89,6 +89,106 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"))
 
 
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition/symbol quality signals in the Gopher / C4 style —
+    per-document filters a web-scale training pipeline applies before
+    anything expensive touches the text. All JVM (one narrow (doc_id, tok)
+    shuffle for the top-word stat), exactly DuckDB-replayable:
+
+    - ``n_words``            : whitespace words of the normalized text
+    - ``top_word_frac``      : occurrences of the most frequent word / n_words
+                               (repetitious boilerplate -> high)
+    - ``frac_dup_lines``     : 1 - distinct/total raw '\\n' lines
+    - ``frac_ellipsis_lines``: lines ending in '...' or '…'
+    - ``symbol_word_ratio``  : '#' / '…' / '...' symbols per word
+    - ``frac_alpha_words``   : words containing at least one [a-z]
+    """
+    raw = F.col(text_col)
+    norm = F.lower(_NORM(raw))
+    words = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    lines = F.when(
+        raw.isNull() | (raw == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(raw, "\n"))
+    d = docs.select("doc_id", raw.alias("raw"), words.alias("words"), lines.alias("lines"))
+
+    n_lines = F.size("lines")
+    n_dup_lines = n_lines - F.size(F.array_distinct("lines"))
+    ell = F.size(F.expr("filter(lines, l -> l like '%...' or l like '%…')"))
+    n_hash = F.length("raw") - F.length(F.regexp_replace("raw", "#", ""))
+    n_uell = F.length("raw") - F.length(F.regexp_replace("raw", "…", ""))
+    n_dell = F.regexp_count("raw", F.lit(r"\.\.\."))
+    n_alpha = F.size(F.expr("filter(words, w -> w rlike '[a-z]')"))
+    base = d.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words_all"),
+        F.when(n_lines > 0, n_dup_lines.cast("double") / n_lines).otherwise(0.0)
+        .alias("frac_dup_lines"),
+        F.when(n_lines > 0, ell.cast("double") / n_lines).otherwise(0.0)
+        .alias("frac_ellipsis_lines"),
+        (F.coalesce(n_hash + n_uell + n_dell, F.lit(0))).cast("long").alias("n_symbols"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+    )
+
+    tok = (
+        docs.select("doc_id", F.explode(words).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tw = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_words"))
+    )
+    out = base.join(tw, "doc_id", "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0))
+    return out.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, F.col("top_cnt").cast("double") / n_words)
+        .otherwise(0.0).alias("top_word_frac"),
+        "frac_dup_lines",
+        "frac_ellipsis_lines",
+        F.when(n_words > 0, F.col("n_symbols").cast("double") / n_words)
+        .otherwise(0.0).alias("symbol_word_ratio"),
+        F.when(n_words > 0, F.col("n_alpha_words").cast("double") / n_words)
+        .otherwise(0.0).alias("frac_alpha_words"),
+    )
+
+
+PII_PATTERNS = {
+    # RE2-safe (no lookaround/backrefs) so Spark's Java regex and the DuckDB
+    # oracle's RE2 agree match for match
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "longnum": r"\b\d{9,}\b",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub for training text: emails -> <EMAIL>, IPv4 -> <IP>, long
+    digit runs (ids/phones/accounts) -> <ID>; plus per-doc match counts.
+    Pure JVM regexp_replace/regexp_count — at 100 TB this is a map-only
+    stage with zero shuffle. Replacement order matters: emails first (they
+    contain dotted digit substrings an IP pattern could claim).
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_PATTERNS["email"]))
+    clean = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
+    n_ip = F.regexp_count(clean, F.lit(PII_PATTERNS["ipv4"]))
+    clean = F.regexp_replace(clean, PII_PATTERNS["ipv4"], "<IP>")
+    n_num = F.regexp_count(clean, F.lit(PII_PATTERNS["longnum"]))
+    clean = F.regexp_replace(clean, PII_PATTERNS["longnum"], "<ID>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_num.cast("long").alias("n_longnums"),
+    )
+
+
 def language_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Char-trigram-profile language-ID across 13 languages — pure JVM.
 

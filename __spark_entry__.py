@@ -513,6 +513,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return out.select("doc_id1", "doc_id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    return _dedup.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), method="minhash", threshold=0.5
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").withColumn("blk", F.concat(
         F.col("label").cast("string"), F.lit("|"), (F.col("vec_id") % 10).cast("string")
@@ -655,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "multimodal_mime": q_multimodal_mime,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_fingerprints": q_text_fingerprints,
@@ -705,6 +712,48 @@ def _langid_v2_sql(norm: str) -> str:
                    ELSE '{langs[0]}' END AS lang_pred
             FROM h
         """
+
+
+def _minhash_pairs_sql(norm: str, threshold: float) -> str:
+    """The md5-MinHash-LSH pair sweep as a self-contained SELECT producing
+    (doc_id1, doc_id2, est) — shared by the dedup_minhash_lsh oracle and
+    the dedup_clusters transitive-closure oracle."""
+    return f"""
+            WITH d0 AS (SELECT doc_id, substr(lower({norm}), 1, 2048) AS nt FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN nt = '' THEN []::VARCHAR[]
+                          WHEN length(nt) <= 5 THEN [nt]
+                          ELSE list_distinct(list_transform(
+                               range(1, length(nt) - 5 + 2),
+                               i -> substr(nt, i, 5))) END AS sh
+              FROM d0),
+            hh AS (
+              SELECT doc_id,
+                     list_transform(sh, sg ->
+                       ('0x' || substr(md5(sg), 1, 7))::BIGINT) AS hs
+              FROM d WHERE len(sh) > 0),
+            s AS (
+              SELECT doc_id,
+                     list_transform(range(1, 33), j ->
+                       list_min(list_transform(hs, h ->
+                         ({_MH_A}[j] * h + {_MH_B}[j]) % 2147483647))) AS sig
+              FROM hh),
+            b AS (
+              SELECT doc_id, sig,
+                     unnest(list_transform(range(0, 8), bb ->
+                       md5(concat(bb::VARCHAR, ':',
+                         list_aggregate(list_transform(
+                           list_slice(sig, bb * 4 + 1, bb * 4 + 4),
+                           x -> x::VARCHAR), 'string_agg', ','))))) AS band
+              FROM s),
+            p AS (
+              SELECT DISTINCT a.doc_id AS doc_id1, b2.doc_id AS doc_id2,
+                     len(list_filter(range(1, 33), i -> a.sig[i] = b2.sig[i]))::DOUBLE
+                       / 32 AS est
+              FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
+            SELECT doc_id1, doc_id2, est FROM p WHERE est >= {threshold}
+    """
 
 
 def _sample_sql() -> str:
@@ -1255,41 +1304,27 @@ def oracle_sql() -> dict[str, str]:
         # md5-rebased sketches: DuckDB replays the identical sketch via the
         # shared 60-bit md5 primitive ('0x'||substr(md5(x),1,15))::BIGINT
         "dedup_minhash_lsh": f"""
-            WITH d0 AS (SELECT doc_id, substr(lower({norm}), 1, 2048) AS nt FROM documents),
-            d AS (
-              SELECT doc_id,
-                     CASE WHEN nt = '' THEN []::VARCHAR[]
-                          WHEN length(nt) <= 5 THEN [nt]
-                          ELSE list_distinct(list_transform(
-                               range(1, length(nt) - 5 + 2),
-                               i -> substr(nt, i, 5))) END AS sh
-              FROM d0),
-            hh AS (
-              SELECT doc_id,
-                     list_transform(sh, sg ->
-                       ('0x' || substr(md5(sg), 1, 7))::BIGINT) AS hs
-              FROM d WHERE len(sh) > 0),
-            s AS (
-              SELECT doc_id,
-                     list_transform(range(1, 33), j ->
-                       list_min(list_transform(hs, h ->
-                         ({_MH_A}[j] * h + {_MH_B}[j]) % 2147483647))) AS sig
-              FROM hh),
-            b AS (
-              SELECT doc_id, sig,
-                     unnest(list_transform(range(0, 8), bb ->
-                       md5(concat(bb::VARCHAR, ':',
-                         list_aggregate(list_transform(
-                           list_slice(sig, bb * 4 + 1, bb * 4 + 4),
-                           x -> x::VARCHAR), 'string_agg', ','))))) AS band
-              FROM s),
-            p AS (
-              SELECT DISTINCT a.doc_id AS doc_id1, b2.doc_id AS doc_id2,
-                     len(list_filter(range(1, 33), i -> a.sig[i] = b2.sig[i]))::DOUBLE
-                       / 32 AS est
-              FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
             SELECT doc_id1, doc_id2, round(est, 6) AS est_jaccard
-            FROM p WHERE est >= 0.5
+            FROM ({_minhash_pairs_sql(norm, 0.5)})
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            -- MATERIALIZED is load-bearing: without it DuckDB re-inlines the
+            -- full MinHash sweep into every recursion step of `reach`
+            pairs AS MATERIALIZED ({_minhash_pairs_sql(norm, 0.5)}),
+            edges AS MATERIALIZED (
+              SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+              UNION ALL
+              SELECT doc_id2, doc_id1 FROM pairs),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+            lab AS (SELECT node AS doc_id, min(r) AS keep_id
+                    FROM reach GROUP BY node)
+            SELECT l.doc_id, l.keep_id, c.cluster_size
+            FROM lab l JOIN (SELECT keep_id, count(*) AS cluster_size
+                             FROM lab GROUP BY keep_id) c USING (keep_id)
         """,
         "dedup_simhash": f"""
             WITH d0 AS (SELECT doc_id, lower({norm}) AS nt FROM documents),

@@ -352,6 +352,42 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    method: str = "minhash",
+    **kw,
+) -> DataFrame:
+    """(doc_id, keep_id, cluster_size): transitive closure over near-dup
+    pairs — the keep/drop decision a dedup pipeline actually applies.
+
+    Near-dup similarity is not transitive (A~B, B~C but A!~C), so pair
+    lists alone under-merge; this composes a pair operator ('minhash' |
+    'simhash' | 'ngram', kwargs forwarded) with the distributed
+    connected-components operator and labels every document with the
+    minimum doc_id of its component (the canonical survivor). Singletons
+    keep themselves. All set-up is the same bounded-block machinery as the
+    underlying pair operators; CC adds O(log n) hash-join rounds.
+    """
+    fns = {
+        "minhash": minhash_lsh_pairs,
+        "simhash": simhash_pairs,
+        "ngram": ngram_jaccard_pairs,
+    }
+    pairs = fns[method](docs, text_col, **kw)
+    from .cluster import assign_clusters
+
+    edges = pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cl = assign_clusters(edges, nodes)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cl.join(sizes, "cluster_id").select(
+        F.col("entity_id").alias("doc_id"),
+        F.col("cluster_id").alias("keep_id"),
+        "cluster_size",
+    )
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

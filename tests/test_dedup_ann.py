@@ -156,6 +156,25 @@ class TestDedup:
         assert all(3 not in p for p in pairs)
 
 
+    def test_near_dup_clusters_transitive_closure(self, spark):
+        """Near-dup similarity is not transitive: A~B and B~C can hold while
+        A!~C. The cluster operator must still merge all three (connected
+        components), label with the min doc_id, and keep singletons."""
+        from entity_resolution_pipeline_spark.operators.dedup import near_dup_clusters
+
+        a = "alpha beta gamma delta epsilon zeta"
+        b = "alpha beta gamma delta epsilon eta"      # ~A (5/7)
+        c = "alpha beta gamma delta theta eta"        # ~B (5/7), vs A only 4/8
+        rows = [(10, a), (11, b), (12, c), (20, "totally different words here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in near_dup_clusters(
+            df, method="ngram", threshold=0.7, max_anchor_df=10
+        ).collect()}
+        assert out[10]["keep_id"] == out[11]["keep_id"] == out[12]["keep_id"] == 10
+        assert out[10]["cluster_size"] == 3
+        assert out[20]["keep_id"] == 20 and out[20]["cluster_size"] == 1
+
+
 class TestNoPersistLeaks:
     def test_dedup_operators_leave_no_cached_rdds(self, spark):
         """Round-1 leaked sigs/simhash persists; the md5-JVM rewrites must

@@ -62,8 +62,11 @@ def test_exact_dedup_shuffles_hash_not_text(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(exact_dedup(docs))
-    assert "xxhash64" in plan
-    # the aggregate's exchange partitions on tkey (the 8-byte hash)
+    # round 3: the shuffle key is the FULL 128-bit md5 (16-byte binary),
+    # not a 64-bit hash whose birthday collisions would merge distinct
+    # docs at trillion-doc scale — and never the document text itself
+    assert "unhex(md5(" in plan
+    # the aggregate's exchange partitions on tkey (the 16-byte hash)
     assert "hashpartitioning(tkey" in plan
 
 

@@ -61,8 +61,12 @@ BENCH_QUERIES = [
     "f12_sigmoid_threshold",
     "text_quality",
     "text_langid",
+    "text_langid_v2",
+    "text_gopher_quality",
+    "sample_stratified",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "cc_components",

@@ -211,16 +211,25 @@ def language_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     d = docs.select("doc_id", norm.alias("nrm"), padded.alias("padded"))
     d = d.select("doc_id", "nrm", tris.alias("tris"))
-    best = None
-    for lang in sorted(TRIGRAM_PROFILES):
+    # Linear argmax: max over (hits, -lang_rank) structs. A chained
+    # when(h > best.hits, cand).otherwise(best) would embed the whole
+    # previous chain TWICE per language — 2^13 expression blowup that
+    # fails codegen and OOMs the interpreted fallback. Struct ordering is
+    # lexicographic, so ties on hits resolve to the LARGEST -rank = the
+    # lexicographically smallest language (same tie-break as the Python
+    # twin).
+    langs = sorted(TRIGRAM_PROFILES)
+    entries = []
+    for i, lang in enumerate(langs):
         arr = F.array(*[F.lit(t) for t in TRIGRAM_PROFILES[lang]])
         h = F.size(F.array_intersect(F.col("tris"), arr))
-        cand = F.struct(h.alias("hits"), F.lit(lang).alias("lang"))
-        best = cand if best is None else F.when(h > best["hits"], cand).otherwise(best)
+        entries.append(F.struct(h.alias("hits"), F.lit(-i).alias("nr")))
+    d = d.select("doc_id", "nrm", F.array_max(F.array(*entries)).alias("best"))
+    lang_arr = F.array(*[F.lit(l) for l in langs])
     pred = (
         F.when(F.col("nrm") == "", "und")
-        .when(best["hits"] < TRIGRAM_MIN_HITS, "und")
-        .otherwise(best["lang"])
+        .when(F.col("best")["hits"] < TRIGRAM_MIN_HITS, "und")
+        .otherwise(F.element_at(lang_arr, -F.col("best")["nr"] + 1))
     )
     return d.select("doc_id", pred.alias("lang_pred"))
 

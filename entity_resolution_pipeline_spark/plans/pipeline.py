@@ -85,6 +85,17 @@ class ERPipeline:
 
     # ---------- stage runner ----------
 
+    def _table_fp(self, df: DataFrame, key_cols: list[str]) -> str:
+        """Resume fingerprint for an INTERNAL catalog table: the stat-only
+        file-manifest hash when the table is file-backed (it always is in
+        the warehouse; in-memory only in unit-test paths), else the content
+        hash. Internal tables are rewritten exactly when their stage reran,
+        so the manifest is the right granularity — and probing it never
+        re-scans a table that can be arbitrarily large. Conservative by
+        design: a byte-identical rewrite changes the manifest and recomputes
+        downstream (the input itself changed in that case anyway)."""
+        return fingerprint_files(df) or fingerprint_df(df, key_cols)
+
     def _run_stage(self, stage: str, input_fp: str, rows_in: int, build_df, out_table: str,
                    force: bool = False) -> DataFrame:
         if not force and self.catalog.exists(out_table) and self.manifest.stage_complete(stage, input_fp):
@@ -143,7 +154,7 @@ class ERPipeline:
         self.catalog.write(field_hash_mapping(long_df), "field_hash_mapping")
         self.catalog.write(field_stats(long_df), "field_stats")
 
-        rec_fp = fingerprint_df(records, ["url", "person_h"])
+        rec_fp = self._table_fp(records, ["url", "person_h"])
         keys = self._run_stage(
             "blocking", rec_fp, n_pages,
             lambda: B.all_blocking_keys(records, num_perm=cfg.lsh_num_perm, bands=cfg.lsh_bands),
@@ -158,7 +169,7 @@ class ERPipeline:
             self.catalog.write(oversized, "oversized_blocks")
             return pairs
 
-        keys_fp = fingerprint_df(keys, ["url", "key"])
+        keys_fp = self._table_fp(keys, ["url", "key"])
         pairs = self._run_stage("pairs", keys_fp, -1, build_pairs, "candidate_pairs", force)
         if self.catalog.exists("oversized_blocks"):
             over_df = self.catalog.read("oversized_blocks")

@@ -479,6 +479,16 @@ def q_text_redact_pii(spark, sf_dir):
     return _ts.redact_pii(_t(spark, sf_dir, "documents"))
 
 
+def q_text_tfidf_top_terms(spark, sf_dir):
+    t = _ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return t.select("doc_id", "term", "tf", F.round("score", 6).alias("score"), "rank")
+
+
+def q_text_decontaminate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _ts.decontaminate(d, d.where(F.col("doc_id") % 20 == 0))
+
+
 SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
 
 
@@ -650,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_langid_v2": q_text_langid_v2,
         "text_gopher_quality": q_text_gopher_quality,
+        "text_tfidf_top_terms": q_text_tfidf_top_terms,
+        "text_decontaminate": q_text_decontaminate,
         "text_redact_pii": q_text_redact_pii,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
@@ -1123,6 +1135,55 @@ def oracle_sql() -> dict[str, str]:
               round(CASE WHEN coalesce(tw.n_words, 0) > 0
                     THEN b.n_alpha_words::DOUBLE / tw.n_words ELSE 0 END, 6) AS frac_alpha_words
             FROM base b LEFT JOIN tw USING (doc_id)
+        """,
+        "text_tfidf_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(str_split(lower({norm}), ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                   WHERE tok <> '' GROUP BY doc_id, tok),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+              SELECT tf.doc_id, tf.tok, tf.tf,
+                     tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, tok, tf, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, tok ASC) AS rank
+              FROM scored)
+            SELECT doc_id, tok AS term, tf, round(score, 6) AS score, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "text_decontaminate": f"""
+            WITH d0 AS (SELECT doc_id, {norm} AS nt FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+                          WHEN length(nt) <= 8 THEN [nt]
+                          ELSE list_transform(range(1, length(nt) - 8 + 2),
+                               i -> substr(nt, i, 8)) END AS grams
+              FROM d0),
+            h AS (
+              SELECT doc_id, list_transform(grams, gg ->
+                       ('0x' || substr(md5(gg), 1, 15))::BIGINT) AS hs
+              FROM g),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                          WHEN len(hs) <= 8 THEN [list_min(hs)]
+                          ELSE list_transform(range(1, len(hs) - 8 + 2),
+                               j -> list_min(list_slice(hs, j, j + 7))) END AS wmins
+              FROM h),
+            fps AS (SELECT doc_id, unnest(list_distinct(wmins)) AS fp FROM w),
+            ef AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 20 = 0),
+            hits AS (SELECT doc_id, count(DISTINCT fp) AS n_shared_fps
+                     FROM fps JOIN ef USING (fp) GROUP BY doc_id)
+            SELECT d0.doc_id,
+                   coalesce(hits.n_shared_fps, 0) AS n_shared_fps,
+                   coalesce(hits.n_shared_fps, 0) >= 1 AS contaminated
+            FROM d0 LEFT JOIN hits USING (doc_id)
         """,
         "text_redact_pii": """
             SELECT doc_id,

@@ -157,6 +157,40 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = term count within the doc; idf = ln((N + 1) / (df + 1)) + 1 (the
+    standard smoothed form — never zero, never divides by zero); score =
+    tf * idf. Ties break on the lexicographically smaller term, rank by
+    row_number so output size is exactly min(k, distinct terms) per doc.
+    Shuffle profile at scale: one (doc_id, tok) count aggregation, one
+    global df aggregation (tiny — vocabulary-sized, broadcast back), one
+    per-doc window. All JVM; the DuckDB oracle replays scores exactly
+    (same double-precision ln on both engines).
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(_NORM(F.col(text_col)))
+    tok = (
+        docs.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id", "tok", "tf", (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "score", "rank")
+    )
+
+
 PII_PATTERNS = {
     # RE2-safe (no lookaround/backrefs) so Spark's Java regex and the DuckDB
     # oracle's RE2 agree match for match
@@ -254,6 +288,79 @@ def token_counts_bpeish(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(run, schema=_BPE_SCHEMA)
 
 
+def _winnow_mins_expr(k: int, window: int) -> tuple[str, str, str]:
+    """The shared winnowing SQL fragments: grams of nt, md5-60bit hashes,
+    sliding-window minima (used by fingerprints, fingerprint_set,
+    decontaminate)."""
+    grams = (
+        f"CASE WHEN length(nt) = 0 THEN cast(array() as array<string>) "
+        f"WHEN length(nt) <= {k} THEN array(nt) "
+        f"ELSE transform(sequence(1, length(nt) - {k} + 1), i -> substring(nt, i, {k})) END"
+    )
+    hs = (
+        "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    )
+    wmins = (
+        f"CASE WHEN size(hs) = 0 THEN cast(array() as array<bigint>) "
+        f"WHEN size(hs) <= {window} THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(1, size(hs) - {window} + 1), "
+        f"j -> array_min(slice(hs, j, {window}))) END"
+    )
+    return grams, hs, wmins
+
+
+def fingerprint_set(
+    docs: DataFrame, text_col: str = "text", k: int = 8, window: int = 8
+) -> DataFrame:
+    """(doc_id, fp): the DISTINCT winnowed fingerprint hashes per document,
+    exploded to rows — the join key for containment-style overlap checks.
+    Each fp is an 8-byte long, so the shuffle carries (doc_id, fp) pairs,
+    never text. Empty texts produce zero rows.
+    """
+    grams, hs, wmins = _winnow_mins_expr(k, window)
+    return (
+        ensure_parallelism(docs.select("doc_id", _NORM(F.col(text_col)).alias("nt")))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(wmins))).alias("fp"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    winnowed fingerprints with ANY held-out/eval document.
+
+    Exact-substring leakage detection at scale: winnowing guarantees any
+    shared substring of length >= k + window - 1 chars yields at least one
+    shared fingerprint, so eval passages copied into training text are
+    caught regardless of surrounding edits. Returns one row per train doc:
+    (doc_id, n_shared_fps, contaminated). The eval fingerprint set is
+    typically tiny next to the corpus — Catalyst broadcasts it; the train
+    side streams as (doc_id, 8-byte fp) pairs.
+    """
+    tf = fingerprint_set(train, text_col, k, window)
+    ef = fingerprint_set(eval_docs, text_col, k, window).select("fp").distinct()
+    hits = tf.join(ef, "fp").groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_shared_fps")
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+            (F.coalesce("n_shared_fps", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", k: int = 8, window: int = 8
 ) -> DataFrame:
@@ -269,20 +376,7 @@ def fingerprints(
                          fingerprint-set size — proportional to doc length,
                          robust to small edits)
     """
-    grams = (
-        f"CASE WHEN length(nt) = 0 THEN cast(array() as array<string>) "
-        f"WHEN length(nt) <= {k} THEN array(nt) "
-        f"ELSE transform(sequence(1, length(nt) - {k} + 1), i -> substring(nt, i, {k})) END"
-    )
-    hs = (
-        "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
-    )
-    wmins = (
-        f"CASE WHEN size(hs) = 0 THEN cast(array() as array<bigint>) "
-        f"WHEN size(hs) <= {window} THEN array(array_min(hs)) "
-        f"ELSE transform(sequence(1, size(hs) - {window} + 1), "
-        f"j -> array_min(slice(hs, j, {window}))) END"
-    )
+    grams, hs, wmins = _winnow_mins_expr(k, window)
     return (
         ensure_parallelism(docs.select("doc_id", _NORM(F.col(text_col)).alias("nt")))
         .select("doc_id", F.expr(grams).alias("grams"))

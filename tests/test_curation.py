@@ -52,6 +52,70 @@ class TestGopherQuality:
         assert abs(r4["frac_alpha_words"] - 1 / 3) < 1e-9
 
 
+class TestTfidf:
+    def test_hand_computed(self, spark):
+        import math
+
+        from entity_resolution_pipeline_spark.operators.textstats import (
+            tfidf_top_terms,
+        )
+
+        rows = [(0, "a a b"), (1, "a c"), (2, "b b d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["doc_id"], r["rank"]): r for r in tfidf_top_terms(df, k=2).collect()}
+        idf = lambda dfreq: math.log(4.0 / (dfreq + 1.0)) + 1.0  # noqa: E731
+        assert out[(0, 1)]["term"] == "a"
+        assert abs(out[(0, 1)]["score"] - 2 * idf(2)) < 1e-12
+        assert out[(0, 2)]["term"] == "b"
+        # rarer term outranks common one despite equal tf
+        assert out[(1, 1)]["term"] == "c" and out[(1, 2)]["term"] == "a"
+        assert out[(2, 1)]["term"] == "b" and out[(2, 2)]["term"] == "d"
+        assert abs(out[(2, 2)]["score"] - idf(1)) < 1e-12
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from entity_resolution_pipeline_spark.operators.textstats import (
+            tfidf_top_terms,
+        )
+
+        df = spark.createDataFrame([(0, "z y")], "doc_id long, text string")
+        out = {r["rank"]: r["term"] for r in tfidf_top_terms(df, k=2).collect()}
+        assert out == {1: "y", 2: "z"}  # equal scores -> lexicographic
+
+
+class TestDecontaminate:
+    def test_verbatim_passage_is_caught(self, spark):
+        """Winnowing guarantees any shared substring of length >=
+        k + window - 1 (15 chars at defaults) yields a shared fingerprint —
+        an eval passage pasted into training text is flagged even with
+        different surroundings."""
+        from entity_resolution_pipeline_spark.operators.textstats import decontaminate
+
+        passage = "the secret benchmark answer is forty two"
+        train = spark.createDataFrame(
+            [
+                (0, f"random preamble text {passage} and a long random suffix"),
+                (1, "completely unrelated training document with other words"),
+                (2, passage),  # exact copy
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, f"benchmark item: {passage}")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in decontaminate(train, ev).collect()}
+        assert out[0]["contaminated"] and out[0]["n_shared_fps"] >= 1
+        assert out[2]["contaminated"]
+        assert not out[1]["contaminated"] and out[1]["n_shared_fps"] == 0
+
+    def test_empty_eval_flags_nothing(self, spark):
+        from entity_resolution_pipeline_spark.operators.textstats import decontaminate
+
+        train = spark.createDataFrame([(0, "some text here")], "doc_id long, text string")
+        ev = spark.createDataFrame([], "doc_id long, text string")
+        out = decontaminate(train, ev).collect()
+        assert len(out) == 1 and not out[0]["contaminated"]
+
+
 class TestRedactPII:
     def test_redacts_and_counts(self, spark):
         rows = [

@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-label-pairs", type=int, default=2000)
     ap.add_argument("--force", action="store_true", help="ignore checkpoints")
     ap.add_argument("--export-csv", default=None, help="cluster CSV export dir")
+    ap.add_argument("--report", action="store_true",
+                    help="write <warehouse>/reports/run_<id>.md after the run")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     result = pipe.run(wp, lp, force=args.force)
     if args.export_csv:
         pipe.export_clusters_csv(args.export_csv)
+    if args.report:
+        from entity_resolution_pipeline_spark.plans.report import write_run_report
+
+        result["report_path"] = write_run_report(pipe)
     print(json.dumps(result, default=str))
     return 0
 

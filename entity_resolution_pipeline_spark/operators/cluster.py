@@ -90,21 +90,66 @@ def _edges_signature(e: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _driver_union_find(spark, e: DataFrame, node_type: str) -> DataFrame:
+    """Union-find on a collected (bounded) edge list; component = min node.
+
+    Value-identical to the distributed fixpoint (min-label components)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    rows = sorted((x, comp_min[r]) for x, r in roots.items())
+    return spark.createDataFrame(rows, f"node {node_type}, component {node_type}")
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """G3: (node, component) with component = min node id in the component.
 
     Alternating large-star / small-star over hash joins; converges in
     O(log n) rounds. Each round materializes via localCheckpoint (lineage
     truncation — SURVEY.md §7.4 risk 5).
+
+    Small-graph fast path: when the (deduped) edge list holds at most
+    ``driver_threshold`` rows — probed with a bounded ``limit(n+1).count()``,
+    never an unbounded count — the components come from a driver-side
+    union-find instead. Near-dup graphs are routinely tiny relative to the
+    corpus that produced them, and each distributed round costs 2+ jobs
+    (star joins + checkpoint + fixpoint probe): ~10 rounds of cluster
+    scheduling to label a graph that fits in one driver array. The collect
+    is bounded by the threshold (~1.6 MB at the default); pass
+    ``driver_threshold=0`` to force the distributed path.
     """
     spark = edges.sparkSession
     e = _canonical(edges).localCheckpoint(eager=True)
+    t = edges.schema["src"].dataType.simpleString()
     if e.isEmpty():
-        t = edges.schema["src"].dataType.simpleString()
         return spark.createDataFrame([], f"node {t}, component {t}")
+
+    if driver_threshold > 0 and e.limit(driver_threshold + 1).count() <= driver_threshold:
+        return _driver_union_find(spark, e, t)
 
     prev_sig = None
     for _ in range(max_iterations):

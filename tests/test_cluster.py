@@ -10,31 +10,40 @@ from entity_resolution_pipeline_spark.operators.cluster import (
 )
 
 
-def _cc_map(spark, edges):
+import pytest
+
+
+def _cc_map(spark, edges, driver_threshold=100_000):
     df = spark.createDataFrame(edges, "src string, dst string")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, driver_threshold=driver_threshold).collect()
     return {r["node"]: r["component"] for r in rows}
 
 
-def test_cc_chain_long_diameter(spark):
+# thr=100k exercises the driver union-find fast path; thr=0 forces the
+# distributed large/small-star fixpoint — both must produce min-label
+# components identically
+@pytest.mark.parametrize("thr", [100_000, 0])
+def test_cc_chain_long_diameter(spark, thr):
     # a-b-c-...-j: one component, min id wins
     nodes = [f"n{i:02d}" for i in range(12)]
     edges = list(zip(nodes, nodes[1:]))
-    m = _cc_map(spark, edges)
+    m = _cc_map(spark, edges, thr)
     assert set(m) == set(nodes)
     assert set(m.values()) == {"n00"}
 
 
-def test_cc_star(spark):
+@pytest.mark.parametrize("thr", [100_000, 0])
+def test_cc_star(spark, thr):
     edges = [("hub", f"leaf{i}") for i in range(8)]
-    m = _cc_map(spark, edges)
+    m = _cc_map(spark, edges, thr)
     assert set(m.values()) == {"hub"}
     assert len(m) == 9
 
 
-def test_cc_two_components_and_dupes(spark):
+@pytest.mark.parametrize("thr", [100_000, 0])
+def test_cc_two_components_and_dupes(spark, thr):
     edges = [("a", "b"), ("b", "c"), ("x", "y"), ("b", "a"), ("c", "c")]
-    m = _cc_map(spark, edges)
+    m = _cc_map(spark, edges, thr)
     assert m["a"] == m["b"] == m["c"] == "a"
     assert m["x"] == m["y"] == "x"
 
@@ -49,7 +58,9 @@ def test_cc_signature_collision_cannot_terminate_early(spark, monkeypatch):
     monkeypatch.setattr(C, "_edges_signature", lambda e: (0, 0))
     nodes = [f"n{i:02d}" for i in range(16)]
     df = spark.createDataFrame(list(zip(nodes, nodes[1:])), "src string, dst string")
-    m = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+    # driver_threshold=0: the collision guard lives in the distributed loop
+    m = {r["node"]: r["component"]
+         for r in C.connected_components(df, driver_threshold=0).collect()}
     assert set(m) == set(nodes)
     assert set(m.values()) == {"n00"}
 

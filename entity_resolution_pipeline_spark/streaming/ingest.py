@@ -77,6 +77,38 @@ def dedup_stream(docs: DataFrame, text_col: str = "text", ts_col: str = "ts",
     return keyed.dropDuplicates(["tkey"])
 
 
+def curate_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_chars: int = 20,
+    max_punct_ratio: float = 0.5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming training-data curation: quality gate, then exact dedup.
+
+    The composition pattern for corpus ingest — STATELESS filters (pure
+    JVM column predicates, identical semantics batch or stream) run BEFORE
+    the stateful dedup so state only ever holds documents worth keeping:
+    on a firehose the quality gate cuts the dedup state footprint by the
+    reject rate, for free. Adds ``n_chars_norm`` and ``punct_ratio``
+    columns so downstream sinks can log why rows survived.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_chars = F.length(norm)
+    n_punct = n_chars - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(1.0)
+    gated = (
+        docs.withColumn("n_chars_norm", n_chars.cast("long"))
+        .withColumn("punct_ratio", punct_ratio)
+        .where(
+            (F.col("n_chars_norm") >= min_chars)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+        )
+    )
+    return dedup_stream(gated, text_col=text_col, ts_col=ts_col, watermark=watermark)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + value sum, emitted on every update.

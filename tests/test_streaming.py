@@ -64,6 +64,48 @@ def test_stream_dedup_matches_batch(spark, tmp_warehouse):
     assert set(got_keys) == batch_keys
 
 
+def test_curate_stream_matches_batch(spark, tmp_warehouse):
+    """Quality gate + dedup composed on a stream == the same composition on
+    the static frame: same surviving keys, quality columns attached, and
+    short/punct-heavy rows never reach dedup state."""
+    from entity_resolution_pipeline_spark.streaming.ingest import curate_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", F.col("props").alias("text")
+    )
+    src = os.path.join(tmp_warehouse, "csrc")
+    out = os.path.join(tmp_warehouse, "cout")
+    ckpt = os.path.join(tmp_warehouse, "cckpt")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, text string"
+    ).parquet(src)
+    # props are ~8-9 char JSON snippets ('{"k": 87}'): punct ratio 5/8=0.625
+    # for 1-digit k, 5/9=0.556 for 2 digits — a 0.6 cap drops the former
+    # and keeps the latter, so the gate provably rejects AND passes rows
+    q = (
+        curate_stream(stream, min_chars=5, max_punct_ratio=0.6)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = curate_stream(events, min_chars=5, max_punct_ratio=0.6)
+    assert set(r["tkey"] for r in got.collect()) == set(
+        r["tkey"] for r in batch.collect()
+    )
+    assert got.where(F.col("punct_ratio") > 0.6).count() == 0
+    assert {"n_chars_norm", "punct_ratio"} <= set(got.columns)
+    assert got.count() > 0
+    # the gate genuinely rejected something: unfiltered dedup has more keys
+    from entity_resolution_pipeline_spark.streaming.ingest import dedup_stream
+
+    assert dedup_stream(events).count() > got.count()
+
+
 def test_stateful_user_totals(spark, tmp_warehouse):
     """applyInPandasWithState running totals: after one availableNow batch,
     the latest emitted row per user equals the batch aggregate."""

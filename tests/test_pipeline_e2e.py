@@ -244,6 +244,52 @@ def test_merge_upsert(spark, tmp_path_factory):
     assert got2 == got
 
 
+def test_merge_upsert_crash_recovery(spark, tmp_path_factory):
+    """A crash between the two swap renames leaves the table at the backup
+    path; the next merge must restore it and proceed normally."""
+    import os
+
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("merge_crash_wh")))
+    cat.merge_upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+                     "t", ["k"])
+    # simulate the crash window: old table moved to backup, staging gone,
+    # nothing at the primary path
+    os.rename(cat.path("t"), cat.path("t__backup"))
+    assert not cat.exists("t") and os.path.isdir(cat.path("t__backup"))
+    cat.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+                     "t", ["k"])
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # pre-crash rows recovered, merge applied
+    assert not os.path.isdir(cat.path("t__backup"))
+
+
+def test_fingerprint_files_semantics(spark, tmp_path_factory):
+    """Stat-only manifest fingerprint: stable across re-reads, sensitive to
+    content-size and mtime changes, None for in-memory frames."""
+    import os
+
+    from entity_resolution_pipeline_spark.sources.catalog import fingerprint_files
+
+    d = str(tmp_path_factory.mktemp("fpf"))
+    spark.range(100).write.mode("overwrite").parquet(d)
+    fp1 = fingerprint_files(spark.read.parquet(d))
+    fp2 = fingerprint_files(spark.read.parquet(d))
+    assert fp1 is not None and fp1 == fp2
+    # touching one data file changes the fingerprint
+    for root, _, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(root, fn))
+                break
+        break
+    fp3 = fingerprint_files(spark.read.parquet(d))
+    assert fp3 != fp1
+    # in-memory frame: no file source -> None (caller falls back to content)
+    assert fingerprint_files(spark.createDataFrame([(1,)], "x long")) is None
+
+
 def test_table_diff(pipeline_run, spark):
     from entity_resolution_pipeline_spark.sources.catalog import table_diff
 

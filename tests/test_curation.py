@@ -82,6 +82,79 @@ class TestTfidf:
         assert out == {1: "y", 2: "z"}  # equal scores -> lexicographic
 
 
+class TestCurateCorpus:
+    def test_full_funnel(self, spark):
+        """Every funnel stage drops exactly what it should: junk at the
+        quality gate, copies at exact dedup, one survivor per near-dup
+        cluster, eval-overlapping docs at decontamination; PII is redacted
+        in the surviving text and the split column appears."""
+        from entity_resolution_pipeline_spark.plans.curation import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog while many "
+                "common words fill this perfectly ordinary document body")
+        near = base.replace("lazy dog", "lazy cat")
+        eval_passage = "the held out benchmark answer phrase nobody should train on"
+        rows = [
+            (0, base),
+            (1, base),                             # exact dup of 0
+            (2, near),                             # near dup of 0
+            (3, f"intro text {eval_passage} outro text words words words"),
+            (4, "spam spam spam spam spam spam"),  # top_word_frac = 1.0
+            (5, "# $ % ^ & * ( )"),                # no alpha words
+            (6, "contact me at someone@example.org for more details about "
+                "this otherwise clean and unique document text"),
+            (7, "a second completely distinct clean document with plenty of "
+                "different vocabulary spread across the line"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame([(100, eval_passage)], "doc_id long, text string")
+        out, funnel = curate_corpus(
+            docs, ev, CurationConfig(holdout_frac=0.25, redact=True)
+        )
+        kept = {r["doc_id"]: r for r in out.collect()}
+
+        assert funnel["input"] == 8
+        assert funnel["after_quality"] == 6          # 4 (repetition), 5 (symbols) out
+        assert funnel["after_exact_dedup"] == 5      # 1 out (copy of 0)
+        assert funnel["after_near_dup"] == 4         # 2 out (near dup of 0)
+        assert funnel["after_decontaminate"] == 3    # 3 out (eval passage)
+        assert set(kept) == {0, 6, 7}
+        assert "<EMAIL>" in kept[6]["text"] and "someone" not in kept[6]["text"]
+        assert all(r["split"] in ("train", "holdout") for r in kept.values())
+        assert funnel["train"] + funnel["holdout"] == 3
+
+        # deterministic: rerun gives identical rows and splits
+        out2, funnel2 = curate_corpus(
+            docs, ev, CurationConfig(holdout_frac=0.25, redact=True)
+        )
+        assert funnel2 == funnel
+        assert {(r["doc_id"], r["split"]) for r in out2.collect()} == {
+            (r["doc_id"], r["split"]) for r in out.collect()
+        }
+
+    def test_funnel_without_eval_set(self, spark):
+        from entity_resolution_pipeline_spark.plans.curation import curate_corpus
+
+        texts = [
+            "astronomy telescopes gather light from distant galaxies every night",
+            "the recipe calls for flour butter sugar and a pinch of cinnamon",
+            "quarterly revenue grew while operating expenses remained roughly flat",
+            "the midfielder curled the free kick over the defensive wall",
+            "glaciers carve deep valleys as they advance and retreat over millennia",
+            "the orchestra tuned quietly before the conductor raised the baton",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out, funnel = curate_corpus(docs)
+        assert "after_decontaminate" not in funnel
+        assert funnel["after_near_dup"] == 6
+        assert out.count() == 6
+
+
 class TestDecontaminate:
     def test_verbatim_passage_is_caught(self, spark):
         """Winnowing guarantees any shared substring of length >=

@@ -549,6 +549,29 @@ class TestMultimodal:
         feats2 = {r["id"]: r for r in decode_image_features(df).collect()}
         assert feats2[0]["features"] == feats[0]["features"]
 
+    def test_decoder_resolution_and_kernel_tag(self, spark):
+        """decoder='auto' must fall back to the fake kernel in this
+        codec-less container (tagged per row); decoder='real' must raise;
+        the legacy use_fake_decoder flag maps onto the same modes."""
+        import pytest as _pytest
+
+        from entity_resolution_pipeline_spark.operators.multimodal import (
+            _image_backend,
+            decode_image_features,
+        )
+
+        assert _image_backend() is None  # no PIL here — 'auto' means fake
+        df = spark.createDataFrame(
+            [(0, bytearray(b"\x89PNG\r\n" + bytes(range(64))))],
+            "id long, payload binary",
+        )
+        rows = decode_image_features(df, decoder="auto").collect()
+        assert rows[0]["kernel"] == "fake"
+        with _pytest.raises(NotImplementedError):
+            decode_image_features(df, decoder="real").collect()
+        with _pytest.raises(NotImplementedError):
+            decode_image_features(df, use_fake_decoder=False).collect()
+
     def test_resize_plumbing(self, spark):
         """Resize stub: size-exact output, deterministic, NULL-safe."""
         from entity_resolution_pipeline_spark.operators.multimodal import resize_images

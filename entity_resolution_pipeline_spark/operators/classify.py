@@ -180,6 +180,60 @@ def fit_logistic_regression(
     )
 
 
+def rfe_select(
+    X: np.ndarray,
+    y: np.ndarray,
+    min_features: int | None = None,
+    c: float = 1.0,
+) -> list[int]:
+    """M4: recursive feature elimination (reference
+    /root/reference/src/classification.py:557-611; shipped DISABLED in its
+    default config.yml:105 — provided here for full API parity).
+
+    Iteratively fits the balanced z-scored IRLS LR on the remaining
+    features and drops the one with the smallest absolute standardized
+    weight, until ``min_features`` (default: the reference's
+    max(5, ceil(0.2 * n_features))) remain. Returns the selected column
+    indices in original order. Deterministic: ties drop the
+    highest-indexed feature.
+    """
+    n = X.shape[1]
+    if min_features is None:
+        min_features = max(5, int(np.ceil(0.2 * n)))
+    keep = list(range(n))
+    while len(keep) > min_features:
+        m = fit_logistic_regression(
+            X[:, keep], y, c=c, balanced=True,
+            feature_names=[str(i) for i in keep],
+        )
+        w = np.abs(m.weights)
+        # ties -> drop the LAST minimal index (stable, deterministic)
+        drop_pos = int(np.where(w == w.min())[0][-1])
+        keep.pop(drop_pos)
+    return keep
+
+
+def expand_model(model: LRModel, selected: list[int],
+                 full_names: list[str]) -> LRModel:
+    """Re-embed a model fit on a feature SUBSET into the full feature
+    space: dropped features get weight 0 (mean 0, std 1 — their z-scored
+    contribution is exactly zero), so every existing scoring path (Arrow
+    batch, JVM dims assembly) keeps its fixed-width feature contract
+    unchanged while predictions equal the subset model's."""
+    n = len(full_names)
+    w = np.zeros(n)
+    means = np.zeros(n)
+    stds = np.ones(n)
+    for j, idx in enumerate(selected):
+        w[idx] = model.weights[j]
+        means[idx] = model.means[j]
+        stds[idx] = model.stds[j]
+    return LRModel(
+        weights=w, intercept=model.intercept, means=means, stds=stds,
+        feature_names=list(full_names),
+    )
+
+
 def confusion(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
     """A9/M6: TP/FP/TN/FN + precision/recall/F1/accuracy."""
     y_true = np.asarray(y_true).astype(int)

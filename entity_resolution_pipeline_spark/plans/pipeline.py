@@ -68,6 +68,9 @@ class ERConfig:
     lsh_bands: int = 16
     max_block_size: int = 64
     transitivity_enabled: bool = False  # CC subsumes G2; kept as operator
+    # M4 RFE: None = disabled, matching the reference's shipped config
+    # (config.yml:105); an int selects down to that many features
+    rfe_min_features: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -291,9 +294,23 @@ class ERPipeline:
         # 415-471); evaluation below stays on the original, unbalanced rows
         # so the prefilter overrides remain row-aligned.
         X_fit, y_fit = balance_classes(X[tr], y[tr], seed=self.config.seed)
-        model = fit_logistic_regression(
-            X_fit, y_fit, c=1.0, balanced=True, feature_names=P.FEATURE_NAMES
-        )
+        if self.config.rfe_min_features is not None:
+            # M4: select, fit on the subset, then re-embed into the full
+            # feature space (dropped features get weight 0) so the
+            # fixed-width scoring paths stay untouched
+            from ..operators.classify import expand_model, rfe_select
+
+            sel = rfe_select(X_fit, y_fit, self.config.rfe_min_features)
+            sub = fit_logistic_regression(
+                X_fit[:, sel], y_fit, c=1.0, balanced=True,
+                feature_names=[P.FEATURE_NAMES[i] for i in sel],
+            )
+            model = expand_model(sub, sel, P.FEATURE_NAMES)
+            self.metrics["rfe_selected"] = [P.FEATURE_NAMES[i] for i in sel]
+        else:
+            model = fit_logistic_regression(
+                X_fit, y_fit, c=1.0, balanced=True, feature_names=P.FEATURE_NAMES
+            )
 
         # test-split metrics with prefilter overrides (M6 semantics)
         pref = np.array([r["prefilter"] for r in rows], dtype=object)

@@ -256,6 +256,69 @@ class TestClassifier:
         assert np.isfinite(m.predict_proba(X)).all()
 
 
+class TestRFE:
+    def _informative(self, n=500, seed=3):
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, 8)
+        # only features 1 and 5 carry signal
+        w = np.zeros(8)
+        w[1], w[5] = 3.0, -2.5
+        y = (1 / (1 + np.exp(-(X @ w))) > 0.5).astype(float)
+        return X, y
+
+    def test_selects_informative_features(self):
+        from entity_resolution_pipeline_spark.operators.classify import rfe_select
+
+        X, y = self._informative()
+        sel = rfe_select(X, y, min_features=2)
+        assert sel == [1, 5]
+
+    def test_default_target_matches_reference_rule(self):
+        from entity_resolution_pipeline_spark.operators.classify import rfe_select
+
+        X, y = self._informative()
+        sel = rfe_select(X, y)  # max(5, ceil(0.2*8)) = 5
+        assert len(sel) == 5 and {1, 5} <= set(sel)
+        assert sel == sorted(sel)
+
+    def test_expand_model_predictions_identical(self):
+        from entity_resolution_pipeline_spark.operators.classify import (
+            expand_model,
+            rfe_select,
+        )
+
+        X, y = self._informative()
+        sel = rfe_select(X, y, min_features=3)
+        sub = fit_logistic_regression(
+            X[:, sel], y, balanced=True, feature_names=[str(i) for i in sel]
+        )
+        full = expand_model(sub, sel, [f"f{i}" for i in range(8)])
+        assert np.allclose(full.predict_proba(X), sub.predict_proba(X[:, sel]))
+        # dropped features carry exactly zero weight
+        dropped = [i for i in range(8) if i not in sel]
+        assert all(full.weights[i] == 0.0 for i in dropped)
+
+    def test_pipeline_rfe_integration(self, spark, tmp_path_factory):
+        """ERConfig.rfe_min_features trains on the selected subset, records
+        the selection in metrics, and the scored table still materializes
+        through the unchanged fixed-width scoring path."""
+        from entity_resolution_pipeline_spark.plans.pipeline import ERConfig, ERPipeline
+        from entity_resolution_pipeline_spark.sources.webpages import (
+            labeled_pairs_pdf,
+            web_pages_df,
+        )
+
+        wh = str(tmp_path_factory.mktemp("erp_wh_rfe"))
+        wp = web_pages_df(spark, 60)
+        lp = spark.createDataFrame(labeled_pairs_pdf(60, 300))
+        pipe = ERPipeline(spark, wh, ERConfig(rfe_min_features=8))
+        res = pipe.run(wp, lp)
+        assert len(pipe.metrics["rfe_selected"]) == 8
+        assert pipe.catalog.read("scored_pairs").count() > 0
+        # prefilters dominate the synthetic corpus, so the gate still holds
+        assert res["evaluation"]["blocked_pairs"]["f1"] >= 0.95
+
+
 class TestClassifierExtras:
     def test_feature_importance_ranked(self):
         from entity_resolution_pipeline_spark.operators.classify import (

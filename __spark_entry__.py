@@ -484,6 +484,14 @@ def q_text_tfidf_top_terms(spark, sf_dir):
     return t.select("doc_id", "term", "tf", F.round("score", 6).alias("score"), "rank")
 
 
+BM25_QUERY = "spark join window table"
+
+
+def q_text_bm25(spark, sf_dir):
+    out = _ts.bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY, k=20)
+    return out.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
 def q_text_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _ts.decontaminate(d, d.where(F.col("doc_id") % 20 == 0))
@@ -662,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": q_text_gopher_quality,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "text_decontaminate": q_text_decontaminate,
+        "text_bm25": q_text_bm25,
         "text_redact_pii": q_text_redact_pii,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
@@ -765,6 +774,43 @@ def _minhash_pairs_sql(norm: str, threshold: float) -> str:
                        / 32 AS est
               FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
             SELECT doc_id1, doc_id2, est FROM p WHERE est >= {threshold}
+    """
+
+
+def _bm25_sql(norm: str, k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
+    """DuckDB replay of bm25_search: identical float literals via repr (so
+    both engines parse the exact same doubles) and identical operator
+    associativity. N/avgdl are computed by each engine's own aggregate —
+    double-precision identical for these plain sums at this scale."""
+    terms = sorted({t for t in BM25_QUERY.lower().split() if t})
+    in_list = ",".join(f"'{t}'" for t in terms)
+    k1p1 = repr(k1 + 1.0)
+    one_minus_b = repr(1.0 - b)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN lower({norm}) = '' THEN []::VARCHAR[]
+                      ELSE str_split(lower({norm}), ' ') END AS toks
+          FROM documents),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+        g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+               WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+        dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum(ln((g.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                     * (tf.tf * {k1p1})
+                     / (tf.tf + {repr(k1)} * ({one_minus_b} + {repr(b)} * lens.dl / g.avgdl))) AS score
+          FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id) CROSS JOIN g
+          GROUP BY tf.doc_id),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+          FROM sc)
+        SELECT doc_id, round(score, 6) AS score, rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -1156,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tok AS term, tf, round(score, 6) AS score, rank
             FROM ranked WHERE rank <= 3
         """,
+        "text_bm25": _bm25_sql(norm),
         "text_decontaminate": f"""
             WITH d0 AS (SELECT doc_id, {norm} AS nt FROM documents),
             g AS (

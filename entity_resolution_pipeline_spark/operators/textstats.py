@@ -191,6 +191,69 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a literal query string.
+
+    Standard BM25: idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1) (never
+    negative), per-doc term saturation with k1 and length normalization
+    with b against the mean document length. Query terms are tokenized
+    with the same normalization as documents; duplicate query terms count
+    once. Shuffle profile: one (doc_id, tok) aggregation restricted to
+    the (tiny, broadcast) query-term set, one global doc-length
+    aggregate, one ordered limit. Ties rank by ascending doc_id.
+    """
+    from pyspark.sql import Window
+
+    q_terms = sorted({t for t in query.lower().split() if t})
+    norm = F.lower(_NORM(F.col(text_col)))
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    d = docs.select("doc_id", toks.alias("toks"))
+    lens = d.select("doc_id", F.size("toks").alias("dl"))
+    g = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0) or 1.0
+
+    tok = d.select("doc_id", F.explode("toks").alias("tok")).where(
+        F.col("tok").isin(q_terms)
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    # TakeOrdered limit first (no global sort shuffle over all matches),
+    # then a row_number window over just the k survivors
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
+
+
 PII_PATTERNS = {
     # RE2-safe (no lookaround/backrefs) so Spark's Java regex and the DuckDB
     # oracle's RE2 agree match for match

@@ -155,6 +155,37 @@ class TestCurateCorpus:
         assert out.count() == 6
 
 
+class TestBM25:
+    def test_hand_computed(self, spark):
+        import math
+
+        from entity_resolution_pipeline_spark.operators.textstats import bm25_search
+
+        rows = [
+            (0, "spark spark engine"),       # tf(spark)=2, dl=3
+            (1, "spark only once here"),     # tf=1, dl=4
+            (2, "nothing relevant at all"),  # no match
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in bm25_search(df, "spark", k=5).collect()}
+        assert set(out) == {0, 1}  # non-matching doc absent
+        assert out[0]["rank"] == 1 and out[1]["rank"] == 2
+        # exact BM25 math for doc 0: N=3, df=2, avgdl=11/3
+        idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+        expect0 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / (11 / 3)))
+        assert abs(out[0]["score"] - expect0) < 1e-9
+
+    def test_multi_term_and_ties(self, spark):
+        from entity_resolution_pipeline_spark.operators.textstats import bm25_search
+
+        rows = [(0, "alpha beta"), (1, "alpha beta"), (2, "alpha gamma")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = [(r["doc_id"], r["rank"]) for r in
+               bm25_search(df, "alpha beta", k=3).collect()]
+        # docs 0 and 1 tie on score -> doc_id ascending breaks the tie
+        assert sorted(out) == [(0, 1), (1, 2), (2, 3)]
+
+
 class TestDecontaminate:
     def test_verbatim_passage_is_caught(self, spark):
         """Winnowing guarantees any shared substring of length >=

@@ -497,6 +497,12 @@ def q_text_decontaminate(spark, sf_dir):
     return _ts.decontaminate(d, d.where(F.col("doc_id") % 20 == 0))
 
 
+def q_sessionize(spark, sf_dir):
+    from entity_resolution_pipeline_spark.streaming.ingest import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="17 minutes")
+
+
 SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
 
 
@@ -671,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "text_decontaminate": q_text_decontaminate,
         "text_bm25": q_text_bm25,
+        "sessionize": q_sessionize,
         "text_redact_pii": q_text_redact_pii,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
@@ -1203,6 +1210,28 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         "text_bm25": _bm25_sql(norm),
+        "sessionize": """
+            WITH m AS (
+              SELECT user_id, ts, value,
+                     -- Spark's session_window MERGES an event landing at
+                     -- exactly (last + gap): break only on STRICTLY greater
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL 17 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 17 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
         "text_decontaminate": f"""
             WITH d0 AS (SELECT doc_id, {norm} AS nt FROM documents),
             g AS (

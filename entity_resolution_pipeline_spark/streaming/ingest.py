@@ -77,6 +77,42 @@ def dedup_stream(docs: DataFrame, text_col: str = "text", ts_col: str = "ts",
     return keyed.dropDuplicates(["tkey"])
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "17 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time sessionization via the native ``session_window``.
+
+    One session per burst of events whose gaps stay under ``gap``; the
+    window end is (last event + gap), Spark's session semantics. Works
+    identically on batch frames and streams (watermarked, sessions emitted
+    once closed). Boundary semantics (pytest-pinned): an event at exactly
+    (last event + gap) still MERGES into the session — Spark treats the
+    window end inclusively when merging. Exactly replayable in SQL as the
+    classic gaps-and-islands: break when the lag difference is STRICTLY
+    greater than gap, cumulative-sum the breaks into session ids — the
+    driver oracle does precisely that.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(key_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def curate_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -143,6 +143,72 @@ def test_stateful_user_totals(spark, tmp_warehouse):
     assert len(got) > 0
 
 
+def test_sessionize_batch_semantics(spark):
+    """Gap chaining, the exactly-gap boundary (end-exclusive: a new
+    session), per-user isolation, end = last event + gap."""
+    from datetime import datetime, timedelta
+
+    from entity_resolution_pipeline_spark.streaming.ingest import sessionize
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    gap = timedelta(minutes=17)
+    rows = [
+        # user 1: chain of 2 (10 min apart), an EXACTLY-gap event (merges:
+        # Spark's boundary is inclusive), then gap+1s (breaks)
+        (1, t0, 1.0),
+        (1, t0 + timedelta(minutes=10), 2.0),
+        (1, t0 + timedelta(minutes=10) + gap, 4.0),
+        (1, t0 + timedelta(minutes=10) + gap + gap + timedelta(seconds=1), 16.0),
+        # user 2: one lone event
+        (2, t0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        ((r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+          r["sum_value"]) for r in sessionize(df, gap="17 minutes").collect()),
+    )
+    assert len(out) == 3
+    u1a, u1b, u2 = out[0], out[1], out[2]
+    assert u1a[3] == 3 and u1a[4] == 7.0  # exactly-gap event merged in
+    assert u1a[2] == t0 + timedelta(minutes=10) + gap + gap  # end = last + gap
+    assert u1b[3] == 1 and u1b[4] == 16.0  # gap+1s broke the chain
+    assert u2[0] == 2 and u2[3] == 1
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_warehouse):
+    """availableNow sessionization emits exactly the watermark-closed
+    sessions the batch path computes."""
+    from entity_resolution_pipeline_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        sessionize,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("user_id") < 30
+    )
+    src = os.path.join(tmp_warehouse, "sessrc")
+    out = os.path.join(tmp_warehouse, "sessout")
+    ckpt = os.path.join(tmp_warehouse, "sessckpt")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        sessionize(stream).writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    expect = {
+        tuple(r)
+        for r in sessionize(events).where(
+            F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_catchup_is_incremental(spark, tmp_warehouse):
     """A second availableNow run over the same files must add nothing."""
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -497,6 +497,23 @@ def q_text_decontaminate(spark, sf_dir):
     return _ts.decontaminate(d, d.where(F.col("doc_id") % 20 == 0))
 
 
+def q_asof_join(spark, sf_dir):
+    from entity_resolution_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(left, right, on="user_id", ts_col="ts", right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("value"),
+        F.round("value_asof", 6).alias("value_asof"),
+        "ts_asof",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     from entity_resolution_pipeline_spark.streaming.ingest import sessionize
 
@@ -678,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_bm25": q_text_bm25,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "text_redact_pii": q_text_redact_pii,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
@@ -1210,6 +1228,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         "text_bm25": _bm25_sql(norm),
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id, l.ts,
+                   round(l.value, 6) AS value,
+                   round(r.value, 6) AS value_asof,
+                   r.ts AS ts_asof
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "sessionize": """
             WITH m AS (
               SELECT user_id, ts, value,

@@ -1,0 +1,83 @@
+"""As-of join — the point-in-time lookup Spark's join zoo lacks.
+
+For every left row, attach the LATEST right row with ``right.ts <=
+left.ts`` for the same key (market-data / feature-store semantics: "what
+was the most recent known value when this event happened").
+
+Spark-first construction (no range-join explosion, no per-row Python):
+tag both sides, union them, and forward-fill the right-side payload with
+``last(..., ignorenulls=True)`` over a (key, ts)-ordered window — ONE
+shuffle + sort per key, O(n log n) per partition, the same work a sorted
+merge would do. At equal timestamps the right row sorts first, so a right
+row AT the left timestamp matches (<= semantics, same as DuckDB's native
+ASOF JOIN, which the driver oracle uses to validate this operator value
+for value).
+
+Skew note: the window partitions by key; a pathologically hot key is one
+task's sort — the same profile as any per-key window. Right-side payloads
+ride through the shuffle once; pre-aggregate the right side if it carries
+duplicate (key, ts) rows (the match would otherwise be ambiguous on BOTH
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """left rows + latest right payload as of each left timestamp.
+
+    ``right_cols``: payload columns from ``right`` (default: everything
+    except the key and timestamp), emitted as ``<col><suffix>``; the
+    matched right timestamp is emitted as ``<ts_col><suffix>``. Rows with
+    no preceding right row get NULLs. ``tolerance`` (an INTERVAL string,
+    e.g. ``'1 hour'``) additionally nulls matches older than
+    ``left.ts - tolerance``.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    payload = [F.col(c).alias(c + suffix) for c in right_cols]
+
+    l_tag = left.withColumn("_is_left", F.lit(1)).withColumn(
+        ts_col + suffix, F.lit(None).cast(right.schema[ts_col].dataType)
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *payload,
+        F.lit(0).alias("_is_left"),
+        F.col(ts_col).alias(ts_col + suffix),
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill_cols = [c + suffix for c in right_cols] + [ts_col + suffix]
+    for c in fill_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = u.where(F.col("_is_left") == 1).drop("_is_left")
+    if tolerance is not None:
+        stale = F.col(ts_col + suffix) < F.col(ts_col) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        for c in fill_cols:
+            out = out.withColumn(
+                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
+            )
+    return out

@@ -209,6 +209,48 @@ def test_sessionize_stream_matches_batch(spark, tmp_warehouse):
     assert got == expect and len(got) > 0
 
 
+def test_asof_join_semantics(spark):
+    """<= matching, per-key isolation, NULLs before any right row, equal-ts
+    inclusion, and tolerance nulling."""
+    from datetime import datetime, timedelta
+
+    from entity_resolution_pipeline_spark.operators.asof import asof_join
+
+    t0 = datetime(2026, 1, 1, 9, 0, 0)
+    m = timedelta(minutes=1)
+    left = spark.createDataFrame(
+        [
+            (1, 1, t0 + 5 * m, 100.0),   # after r@2 -> 20.0
+            (2, 1, t0 + 0 * m, 101.0),   # before any right -> NULL
+            (3, 1, t0 + 2 * m, 102.0),   # EXACTLY at r@2 -> 20.0
+            (4, 2, t0 + 9 * m, 103.0),   # other key: r@1 -> 7.0
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 + 1 * m, 10.0),
+            (1, t0 + 2 * m, 20.0),
+            (2, t0 + 1 * m, 7.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, right_cols=["value"]).collect()}
+    assert out[1]["value_asof"] == 20.0 and out[1]["ts_asof"] == t0 + 2 * m
+    assert out[2]["value_asof"] is None and out[2]["ts_asof"] is None
+    assert out[3]["value_asof"] == 20.0  # <= includes the equal timestamp
+    assert out[4]["value_asof"] == 7.0
+    assert out[1]["value"] == 100.0  # left payload untouched
+
+    # tolerance: the 3-minute-old match for event 1 is nulled at '2 minutes'
+    out_tol = {r["event_id"]: r for r in
+               asof_join(left, right, right_cols=["value"],
+                         tolerance="2 minutes").collect()}
+    assert out_tol[1]["value_asof"] is None
+    assert out_tol[3]["value_asof"] == 20.0  # 0-age match survives
+
+
 def test_catchup_is_incremental(spark, tmp_warehouse):
     """A second availableNow run over the same files must add nothing."""
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

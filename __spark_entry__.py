@@ -520,6 +520,19 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap="17 minutes")
 
 
+def q_range_join(spark, sf_dir):
+    """Every event must land in exactly one of its user's sessions — the
+    range join against the sessionize output is a semantic self-check
+    (row count == event count) on top of the value-level oracle."""
+    from entity_resolution_pipeline_spark.operators.asof import range_join
+    from entity_resolution_pipeline_spark.streaming.ingest import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap="17 minutes")
+    out = range_join(ev.select("event_id", "user_id", "ts"), sessions)
+    return out.select("event_id", "user_id", "ts", "session_start", "session_end")
+
+
 SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
 
 
@@ -696,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "text_redact_pii": q_text_redact_pii,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
@@ -800,6 +814,32 @@ def _minhash_pairs_sql(norm: str, threshold: float) -> str:
               FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
             SELECT doc_id1, doc_id2, est FROM p WHERE est >= {threshold}
     """
+
+
+# gaps-and-islands replay of streaming/ingest.sessionize — shared by the
+# sessionize oracle and the range_join oracle (which joins events back onto
+# these sessions). Spark's session_window MERGES an event landing at exactly
+# (last + gap): break only on STRICTLY greater.
+_SESSIONIZE_SQL = """
+            WITH m AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL 17 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 17 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """
 
 
 def _bm25_sql(norm: str, k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
@@ -1240,27 +1280,14 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
-        "sessionize": """
-            WITH m AS (
-              SELECT user_id, ts, value,
-                     -- Spark's session_window MERGES an event landing at
-                     -- exactly (last + gap): break only on STRICTLY greater
-                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                                                  ORDER BY ts)
-                               > INTERVAL 17 MINUTE
-                          THEN 1 ELSE 0 END AS brk
-              FROM events),
-            s AS (
-              SELECT user_id, ts, value,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM m)
-            SELECT user_id,
-                   min(ts) AS session_start,
-                   max(ts) + INTERVAL 17 MINUTE AS session_end,
-                   count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
-            FROM s GROUP BY user_id, sid
+        "sessionize": _SESSIONIZE_SQL,
+        "range_join": f"""
+            WITH sess AS ({_SESSIONIZE_SQL})
+            SELECT e.event_id, e.user_id, e.ts,
+                   sess.session_start, sess.session_end
+            FROM events e JOIN sess
+              ON e.user_id = sess.user_id
+             AND e.ts >= sess.session_start AND e.ts < sess.session_end
         """,
         "text_decontaminate": f"""
             WITH d0 AS (SELECT doc_id, {norm} AS nt FROM documents),

@@ -26,6 +26,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join ([start, end) semantics) without a
+    nested-loop: each interval explodes into the fixed-width time buckets
+    it overlaps, each point maps to its single bucket, and the match is an
+    EQUI-join on (key, bucket) plus the exact range filter.
+
+    Work is O(points + intervals * buckets_per_interval) instead of the
+    O(points * intervals_per_key) a BroadcastNestedLoopJoin pays; pick
+    ``bucket_seconds`` near the typical interval length so most intervals
+    explode into 1-2 buckets. A point has exactly one bucket, so no
+    dedup pass is needed — each (point, interval) match appears once.
+    """
+    # exact integer epoch-microsecond bucketing (unix_timestamp truncates
+    # fractional seconds; doubles round): works for both TIMESTAMP and
+    # TIMESTAMP_NTZ inputs — the NTZ->LTZ cast shifts points and intervals
+    # identically, so bucket co-location is preserved. The interval
+    # explodes into the SUPERSET [floor(start/w), floor(end/w)] of
+    # overlapped buckets — possibly one harmless empty bucket past an
+    # exclusive end, cleaned by the exact filter, never a missed bucket.
+    w = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def _bkt(c):
+        return F.floor(F.unix_micros(c.cast("timestamp")) / w)
+
+    p = points.withColumn("_bkt", _bkt(F.col(ts_col)))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(F.sequence(_bkt(F.col(start_col)), _bkt(F.col(end_col)))),
+    )
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    return p.join(iv, [key, "_bkt"]).where(cond).drop("_bkt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

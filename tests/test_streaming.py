@@ -251,6 +251,50 @@ def test_asof_join_semantics(spark):
     assert out_tol[3]["value_asof"] == 20.0  # 0-age match survives
 
 
+def test_range_join_semantics(spark):
+    """[start, end) boundaries, per-key isolation, multi-bucket intervals,
+    and no duplicate matches when an interval spans many buckets."""
+    from datetime import datetime, timedelta
+
+    from entity_resolution_pipeline_spark.operators.asof import range_join
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    h = timedelta(hours=1)
+    pts = spark.createDataFrame(
+        [
+            (1, 1, t0 + h),                      # inside the long interval
+            (2, 1, t0 + 5 * h),                  # exactly at END -> excluded
+            (3, 1, t0),                          # exactly at START -> included
+            (4, 2, t0 + h),                      # other key, no interval
+            (5, 1, t0 + 10 * h),                 # after everything
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, t0, t0 + 5 * h)],  # spans 5 one-hour buckets
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    got = sorted(r["event_id"] for r in range_join(pts, iv).collect())
+    assert got == [1, 3]
+    # one row per match even though the interval overlaps many buckets
+    assert range_join(pts, iv).count() == 2
+
+
+def test_range_join_every_event_in_its_session(spark):
+    """Composing range_join with sessionize: every event lands in exactly
+    one of its user's sessions."""
+    from entity_resolution_pipeline_spark.operators.asof import range_join
+    from entity_resolution_pipeline_spark.streaming.ingest import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("user_id") < 40
+    )
+    sessions = sessionize(ev, gap="17 minutes")
+    joined = range_join(ev.select("event_id", "user_id", "ts"), sessions)
+    assert joined.count() == ev.count()
+    assert joined.select("event_id").distinct().count() == ev.count()
+
+
 def test_catchup_is_incremental(spark, tmp_warehouse):
     """A second availableNow run over the same files must add nothing."""
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

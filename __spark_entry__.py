@@ -520,6 +520,12 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap="17 minutes")
 
 
+def q_time_rollup(spark, sf_dir):
+    from entity_resolution_pipeline_spark.streaming.ingest import time_rollup
+
+    return time_rollup(_t(spark, sf_dir, "events"))
+
+
 def q_range_join(spark, sf_dir):
     """Every event must land in exactly one of its user's sessions — the
     range join against the sessionize output is a semantic self-check
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "text_redact_pii": q_text_redact_pii,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
@@ -1281,6 +1288,16 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sessionize": _SESSIONIZE_SQL,
+        "time_rollup": """
+            SELECT '1 hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT '1 day', date_trunc('day', ts), event_type, count(*),
+                   round(sum(value), 6)
+            FROM events GROUP BY 2, 3
+        """,
         "range_join": f"""
             WITH sess AS ({_SESSIONIZE_SQL})
             SELECT e.event_id, e.user_id, e.ts,

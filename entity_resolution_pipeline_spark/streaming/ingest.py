@@ -113,6 +113,45 @@ def sessionize(
     )
 
 
+def time_rollup(
+    events: DataFrame,
+    grains: tuple[str, ...] = ("1 hour", "1 day"),
+    ts_col: str = "ts",
+    by: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: one windowed
+    aggregate per grain, unioned with a ``grain`` label — the continuous-
+    aggregate shape a time-series store materializes per resolution.
+
+    Buckets are epoch-aligned tumbling windows, so '1 hour'/'1 day' starts
+    equal date_trunc on both engines (the oracle replays each grain with
+    date_trunc + UNION ALL). Each grain is an independent partial-agg
+    shuffle; at scale coarser grains would roll up FROM the finest
+    materialized table instead of rescanning raw events — same results,
+    one scan (the union shape here keeps the operator pure/deterministic).
+    """
+    from functools import reduce
+
+    outs = []
+    for g in grains:
+        w = F.window(ts_col, g)
+        outs.append(
+            events.groupBy(w.alias("w"), *by)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.lit(g).alias("grain"),
+                F.col("w.start").alias("bucket_start"),
+                *by,
+                "n_events",
+                "sum_value",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def curate_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -295,6 +295,29 @@ def test_range_join_every_event_in_its_session(spark):
     assert joined.select("event_id").distinct().count() == ev.count()
 
 
+def test_time_rollup_grains_consistent(spark):
+    """The day grain must be an exact rollup of the hour grain (sums and
+    counts aggregate up), and hour buckets align to the clock hour."""
+    from entity_resolution_pipeline_spark.streaming.ingest import time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = time_rollup(ev)
+    hour = r.where(F.col("grain") == "1 hour")
+    day = r.where(F.col("grain") == "1 day")
+    # counts per event_type agree across grains and with the raw table
+    per_type_h = {(x["event_type"]): x["n"] for x in
+                  hour.groupBy("event_type").agg(F.sum("n_events").alias("n")).collect()}
+    per_type_d = {(x["event_type"]): x["n"] for x in
+                  day.groupBy("event_type").agg(F.sum("n_events").alias("n")).collect()}
+    per_type_raw = {(x["event_type"]): x["n"] for x in
+                    ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_type_h == per_type_d == per_type_raw
+    # bucket starts sit on exact hour boundaries
+    assert hour.where(
+        (F.minute("bucket_start") != 0) | (F.second("bucket_start") != 0)
+    ).count() == 0
+
+
 def test_catchup_is_incremental(spark, tmp_warehouse):
     """A second availableNow run over the same files must add nothing."""
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -63,7 +63,14 @@ BENCH_QUERIES = [
     "text_langid",
     "text_langid_v2",
     "text_gopher_quality",
+    "text_tfidf_top_terms",
+    "text_bm25",
+    "text_decontaminate",
     "sample_stratified",
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "time_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -115,11 +115,20 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     n_lines = F.size("lines")
     n_dup_lines = n_lines - F.size(F.array_distinct("lines"))
+    # lines per doc are few — the interpreted lambda filter is fine there;
+    # the per-WORD alpha filter was the hot higher-order function (round-2
+    # lesson: HOF lambdas run interpreted per element) and is replaced by a
+    # value-identical C-speed regexp_count: one lazy match per qualifying
+    # token — the resumed scan can never re-match inside the same token,
+    # since a second match needs a preceding space. The DuckDB oracle pins
+    # value equality.
     ell = F.size(F.expr("filter(lines, l -> l like '%...' or l like '%…')"))
     n_hash = F.length("raw") - F.length(F.regexp_replace("raw", "#", ""))
     n_uell = F.length("raw") - F.length(F.regexp_replace("raw", "…", ""))
     n_dell = F.regexp_count("raw", F.lit(r"\.\.\."))
-    n_alpha = F.size(F.expr("filter(words, w -> w rlike '[a-z]')"))
+    n_alpha = F.regexp_count(
+        F.lower(_NORM(F.col("raw"))), F.lit(r"(?:^| )[^ ]*?[a-z]")
+    )
     base = d.select(
         "doc_id",
         F.size("words").cast("long").alias("n_words_all"),

@@ -41,7 +41,16 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / english-stopword / word-length signals."""
+    """Length / punctuation / english-stopword / word-length signals.
+
+    All C-speed column expressions — the earlier per-token higher-order
+    lambdas (interpreted per element) are replaced by value-identical
+    forms, pinned by the DuckDB oracle: stopword occurrences via a
+    token-boundary alternation regex (the trailing boundary is a
+    lookahead, so adjacent stopwords still both match — Java regex only;
+    the oracle keeps its list formulation), and the word-length sum via
+    the single-space identity sum(len(tok)) = n_chars - (n_tokens - 1).
+    """
     docs = ensure_parallelism(docs)
     norm = _NORM(F.col(text_col))
     n_chars = F.length(norm)
@@ -49,9 +58,9 @@ def quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(tokens)
     n_punct = n_chars - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))
     sw = sorted(STOPWORDS["en"])
-    stop_arr = F.array(*[F.lit(w) for w in sw])
-    n_stop = F.size(F.filter(F.transform(tokens, lambda t: F.lower(t)), lambda t: F.array_contains(stop_arr, t)))
-    sum_word_len = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_pat = r"(?:^| )(?:" + "|".join(sw) + r")(?= |$)"
+    n_stop = F.regexp_count(F.lower(norm), F.lit(stop_pat))
+    sum_word_len = F.when(n_tokens > 0, n_chars - (n_tokens - 1)).otherwise(0)
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),

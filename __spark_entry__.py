@@ -520,6 +520,26 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap="17 minutes")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    from entity_resolution_pipeline_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    s = kmv_estimate(
+        kmv_sketch(_t(spark, sf_dir, "events"), "props", k=64,
+                   group_col="event_type"),
+        k=64,
+    )
+    return s.select(
+        "event_type",
+        F.element_at("minima", 1).alias("h_min"),
+        F.element_at("minima", 64).alias("h_kth"),
+        "n_seen",
+        F.round("distinct_est", 6).alias("distinct_est"),
+    )
+
+
 def q_time_rollup(spark, sf_dir):
     from entity_resolution_pipeline_spark.streaming.ingest import time_rollup
 
@@ -717,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "kmv_distinct": q_kmv_distinct,
         "text_redact_pii": q_text_redact_pii,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
@@ -1288,6 +1309,26 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sessionize": _SESSIONIZE_SQL,
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(props AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM events WHERE props IS NOT NULL),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn
+                  FROM h),
+            m AS (SELECT event_type,
+                         max(CASE WHEN rn = 1 THEN h END) AS h_min,
+                         max(CASE WHEN rn = 64 THEN h END) AS h_kth
+                  FROM r WHERE rn <= 64 GROUP BY event_type),
+            c AS (SELECT event_type, count(*) AS n_seen FROM h GROUP BY event_type)
+            SELECT m.event_type, m.h_min, m.h_kth, c.n_seen,
+                   round(CASE WHEN c.n_seen < 64 THEN c.n_seen::DOUBLE
+                         ELSE 63.0 * 1152921504606846976.0 / m.h_kth END,
+                         6) AS distinct_est
+            FROM m JOIN c USING (event_type)
+        """,
         "time_rollup": """
             SELECT '1 hour' AS grain, date_trunc('hour', ts) AS bucket_start,
                    event_type, count(*) AS n_events,

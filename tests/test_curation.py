@@ -155,6 +155,52 @@ class TestCurateCorpus:
         assert out.count() == 6
 
 
+class TestKMVSketch:
+    def test_estimate_accuracy_and_determinism(self, spark):
+        from entity_resolution_pipeline_spark.operators.sketch import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        df = spark.range(5000).select(F.concat(F.lit("v"), "id").alias("v"))
+        est1 = kmv_estimate(kmv_sketch(df, "v", k=256), k=256).collect()[0]
+        est2 = kmv_estimate(kmv_sketch(df, "v", k=256), k=256).collect()[0]
+        assert est1["minima"] == est2["minima"]  # fully deterministic
+        assert abs(est1["distinct_est"] - 5000) / 5000 < 0.15
+        assert est1["n_seen"] == 5000
+
+    def test_small_group_exact(self, spark):
+        from entity_resolution_pipeline_spark.operators.sketch import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", f"x{i % 7}") for i in range(50)] + [("b", "only")],
+            "g string, v string",
+        )
+        out = {r["g"]: r for r in
+               kmv_estimate(kmv_sketch(df, "v", k=16, group_col="g"), k=16).collect()}
+        assert out["a"]["distinct_est"] == 7.0 and out["a"]["n_seen"] == 7
+        assert out["b"]["distinct_est"] == 1.0
+
+    def test_merge_equals_union_sketch(self, spark):
+        """The defining sketch property: merging partial sketches gives the
+        sketch of the union."""
+        from entity_resolution_pipeline_spark.operators.sketch import (
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        a = spark.range(0, 3000).select(F.concat(F.lit("u"), "id").alias("v"))
+        b = spark.range(2000, 6000).select(F.concat(F.lit("u"), "id").alias("v"))
+        sa = kmv_sketch(a, "v", k=128)
+        sb = kmv_sketch(b, "v", k=128)
+        merged = kmv_merge(sa.unionByName(sb), k=128).collect()[0]
+        direct = kmv_sketch(a.unionByName(b), "v", k=128).collect()[0]
+        assert merged["minima"] == direct["minima"]
+
+
 class TestBM25:
     def test_hand_computed(self, spark):
         import math

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "time_rollup",
+    "kmv_distinct",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -523,7 +523,7 @@ def main():
                 break
         for cores in (2, 8):
             if not walls[cores]:  # co-tenant never let up: fall back to all
-                walls[cores] = [w for w, _, _ in all_reps[cores]]
+                walls[cores] = [r[0] for r in all_reps[cores]]
         stop(w2)
         stop(w8)
 

@@ -35,18 +35,32 @@ def misclassified_pairs(
     threshold : decision threshold (confidence >= threshold -> predict 1).
 
     Returns one row per error with:
-    ``url1, url2, label, pred, error_type (FP|FN), confidence, prefilter,
+    ``url1, url2, label, pred, error_type, confidence, prefilter,
     <field>1/<field>2 for every record field, features (array<double>)``.
     Feature order is ``pairs.FEATURE_NAMES``.
+
+    Labeled pairs the blocking stage never produced (no scored row) are
+    NOT dropped: a labeled positive with no candidate pair is the
+    system's worst false negative, and hiding it would make blocking
+    recall gaps invisible to exactly the tool meant to find them. Such
+    rows predict 0 (NULL confidence) and carry ``error_type =
+    'FN_UNBLOCKED'``, distinguishing blocking misses from classifier-
+    threshold misses ('FN').
     """
     s = scored.select(
         "url1", "url2", "confidence", F.col("prefilter").alias("prefilter_s")
     )
-    joined = labeled.join(s, ["url1", "url2"], "inner").withColumn(
-        "pred", (F.col("confidence") >= F.lit(float(threshold))).cast("int")
+    joined = labeled.join(s, ["url1", "url2"], "left").withColumn(
+        "pred",
+        F.coalesce(
+            (F.col("confidence") >= F.lit(float(threshold))).cast("int"), F.lit(0)
+        ),
     )
     errors = joined.where(F.col("pred") != F.col("label")).withColumn(
-        "error_type", F.when(F.col("pred") == 1, "FP").otherwise("FN")
+        "error_type",
+        F.when(F.col("pred") == 1, "FP")
+        .when(F.col("confidence").isNull(), "FN_UNBLOCKED")
+        .otherwise("FN"),
     )
 
     wide = P.with_pair_key(P.attach_pair_fields(
@@ -88,7 +102,11 @@ def error_summary(errors: DataFrame) -> dict:
     for r in rows:
         out[r["error_type"]] = {
             "n": int(r["n"]),
-            "mean_confidence": float(r["mean_confidence"]),
+            # FN_UNBLOCKED rows have no confidence at all -> None group mean
+            "mean_confidence": (
+                float(r["mean_confidence"])
+                if r["mean_confidence"] is not None else None
+            ),
             "mean_features": dict(
                 zip(P.FEATURE_NAMES, [float(x) for x in r["mean_features"]])
             ),

@@ -87,17 +87,23 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts_col)]
-    payload = [F.col(c).alias(c + suffix) for c in right_cols]
 
-    l_tag = left.withColumn("_is_left", F.lit(1)).withColumn(
-        ts_col + suffix, F.lit(None).cast(right.schema[ts_col].dataType)
+    # the right row forward-fills as ONE struct, never per column: filling
+    # each payload column independently would let a NULL payload inherit
+    # the value of an OLDER right row — a mixed tuple corresponding to no
+    # real right row (DuckDB's ASOF JOIN returns the newest row's NULL).
+    # The struct's ts field is non-null on every right row, so last(...,
+    # ignorenulls) always picks the newest whole row.
+    row_struct = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
     )
+    l_tag = left.withColumn("_is_left", F.lit(1))
     r_tag = right.select(
         F.col(on),
         F.col(ts_col),
-        *payload,
+        row_struct.alias("_asof_row"),
         F.lit(0).alias("_is_left"),
-        F.col(ts_col).alias(ts_col + suffix),
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -108,17 +114,18 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fill_cols = [c + suffix for c in right_cols] + [ts_col + suffix]
-    for c in fill_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("_asof_row", F.last("_asof_row", ignorenulls=True).over(w))
 
-    out = u.where(F.col("_is_left") == 1).drop("_is_left")
+    matched = F.col("_asof_row")
     if tolerance is not None:
-        stale = F.col(ts_col + suffix) < F.col(ts_col) - F.expr(
-            f"INTERVAL {tolerance}"
+        stale = matched["_ts"] < F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+        matched = F.when(stale, F.lit(None)).otherwise(F.col("_asof_row"))
+    return (
+        u.where(F.col("_is_left") == 1)
+        .withColumn("_m", matched)
+        .select(
+            *[c for c in left.columns],
+            *[F.col("_m")[c].alias(c + suffix) for c in right_cols],
+            F.col("_m")["_ts"].alias(ts_col + suffix),
         )
-        for c in fill_cols:
-            out = out.withColumn(
-                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-            )
-    return out
+    )

@@ -114,10 +114,18 @@ def _video_backend() -> str | None:
         return None
 
 
-def _resolve(decoder: str | None, use_fake_decoder: bool, backend: str | None,
-             what: str) -> str:
-    """-> 'fake' or the backend name. Raises for decoder='real' w/o codec."""
-    mode = decoder if decoder is not None else ("fake" if use_fake_decoder else "real")
+def _mode(decoder: str | None, use_fake_decoder: bool) -> str:
+    return decoder if decoder is not None else ("fake" if use_fake_decoder else "real")
+
+
+def _resolve(mode: str, backend: str | None, what: str) -> str:
+    """-> 'fake' or the backend name. Raises for decoder='real' w/o codec.
+
+    Called TWICE: once on the driver for fast failure ('real' without a
+    codec should not wait for task launch), and again INSIDE the Arrow
+    kernel on each executor — a heterogeneous cluster (driver has the
+    codec, executors don't, or vice versa) must resolve against the
+    environment that actually decodes, not the driver's."""
     if mode == "fake":
         return "fake"
     if backend is None:
@@ -171,9 +179,12 @@ def decode_image_features(
     kernel for that row (tagged ``kernel='fake'``) instead of failing the
     task. The fake kernel is a deterministic 16-bin byte histogram.
     """
-    kernel = _resolve(decoder, use_fake_decoder, _image_backend(), "image decoding")
+    mode = _mode(decoder, use_fake_decoder)
+    _resolve(mode, _image_backend(), "image decoding")  # fast driver-side fail
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # re-resolve on the EXECUTOR: its codec environment governs
+        kernel = _resolve(mode, _image_backend(), "image decoding")
         if kernel == "pil":
             import io
 
@@ -235,7 +246,8 @@ def resize_images(
     bytes, like decode_image_features.
     """
     out_len = target_w * target_h
-    kernel = _resolve(decoder, use_fake_decoder, _image_backend(), "image resizing")
+    mode = _mode(decoder, use_fake_decoder)
+    _resolve(mode, _image_backend(), "image resizing")  # fast driver-side fail
 
     def _fake(b) -> bytes:
         if b is None or len(b) == 0:
@@ -245,6 +257,7 @@ def resize_images(
         return arr[idx].tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _resolve(mode, _image_backend(), "image resizing")
         if kernel == "pil":
             import io
 
@@ -304,7 +317,8 @@ def sample_video_frames(
     produce zero rows — exactly how a corrupt video behaves; a payload that
     fails real decoding falls back to fake strides for that row.
     """
-    kernel = _resolve(decoder, use_fake_decoder, _video_backend(), "frame sampling")
+    mode = _mode(decoder, use_fake_decoder)
+    _resolve(mode, _video_backend(), "frame sampling")  # fast driver-side fail
 
     def _fake_rows(rid, b, ids, idxs, frames, ks):
         arr = np.frombuffer(b, dtype=np.uint8)
@@ -317,6 +331,7 @@ def sample_video_frames(
             ks.append("fake")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _resolve(mode, _video_backend(), "frame sampling")
         if kernel == "imageio":
             import imageio.v3 as iio
         for pdf in batches:

@@ -140,7 +140,6 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     base = d.select(
         "doc_id",
-        F.size("words").cast("long").alias("n_words_all"),
         F.when(n_lines > 0, n_dup_lines.cast("double") / n_lines).otherwise(0.0)
         .alias("frac_dup_lines"),
         F.when(n_lines > 0, ell.cast("double") / n_lines).otherwise(0.0)

@@ -56,6 +56,23 @@ def curate_corpus(
     cfg = config or CurationConfig()
     funnel: dict = {"input": docs.count()}
 
+    # each survivor set is persisted and the stage count materializes it:
+    # without this, every downstream funnel count (and the caller's first
+    # action on the result) would re-run the whole upstream funnel —
+    # gopher shuffle, dedup, and the MinHash sweep — from raw documents.
+    # Intermediates unpersist as soon as the next stage is materialized;
+    # the FINAL survivor set stays cached so materializing the returned
+    # frame reads it (write the result, then let it age out or unpersist).
+    cached: list[DataFrame] = []
+
+    def _stage(df: DataFrame, label: str) -> DataFrame:
+        df = df.persist()
+        funnel[label] = df.count()
+        if cached:
+            cached.pop().unpersist()
+        cached.append(df)
+        return df
+
     # 1. quality gate — map-side signals, drops junk before any shuffle
     q = gopher_quality(docs)
     keep_q = q.where(
@@ -64,34 +81,39 @@ def curate_corpus(
         & (F.col("frac_alpha_words") >= cfg.min_alpha_word_frac)
         & (F.col("frac_dup_lines") <= cfg.max_dup_line_frac)
     ).select("doc_id")
-    d = docs.join(keep_q, "doc_id", "left_semi")
-    funnel["after_quality"] = d.count()
+    d = _stage(docs.join(keep_q, "doc_id", "left_semi"), "after_quality")
 
     # 2. exact dedup — keep the canonical (min doc_id) copy
     ex = exact_dedup(d)
-    d = d.join(
-        ex.where(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
-        "doc_id", "left_semi",
+    d = _stage(
+        d.join(
+            ex.where(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
+            "doc_id", "left_semi",
+        ),
+        "after_exact_dedup",
     )
-    funnel["after_exact_dedup"] = d.count()
 
     # 3. near-dup closure — keep one doc per connected near-dup cluster
     nd = near_dup_clusters(d, method=cfg.near_dup_method, **cfg.near_dup_kwargs)
-    d = d.join(
-        nd.where(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
-        "doc_id", "left_semi",
+    d = _stage(
+        d.join(
+            nd.where(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
+            "doc_id", "left_semi",
+        ),
+        "after_near_dup",
     )
-    funnel["after_near_dup"] = d.count()
 
     # 4. decontamination — drop anything sharing winnowed fingerprints
     # with the eval set
     if eval_docs is not None:
         dec = decontaminate(d, eval_docs)
-        d = d.join(
-            dec.where(~F.col("contaminated")).select("doc_id"),
-            "doc_id", "left_semi",
+        d = _stage(
+            d.join(
+                dec.where(~F.col("contaminated")).select("doc_id"),
+                "doc_id", "left_semi",
+            ),
+            "after_decontaminate",
         )
-        funnel["after_decontaminate"] = d.count()
 
     # 5. PII redaction — map-only text rewrite, row count unchanged
     if cfg.redact:

@@ -103,8 +103,8 @@ class Catalog:
         read-old -> anti-join on key -> union new -> stage -> swap.
         Staging to a sibling dir (not persist+overwrite) is deliberate: the
         output must not overwrite files still being read. The swap is
-        backup-then-rename (old -> ``name__old``, staging -> ``name``, drop
-        backup) so a crash at ANY point leaves a complete version of the
+        backup-then-rename (old -> ``name__backup``, staging -> ``name``,
+        drop backup) so a crash at ANY point leaves a complete version of the
         table at a recoverable path — never a window where the only copy is
         gone. A leftover backup from a crashed merge is restored on the next
         call before merging.
@@ -129,13 +129,20 @@ class Catalog:
 
 def fingerprint_files(df: DataFrame) -> str | None:
     """Metadata-level source fingerprint: md5 over the sorted file manifest
-    (path, size, mtime_ns) of the DataFrame's input files — the parquet-dir
-    analogue of an Iceberg snapshot id. Listing + stat only, NO data scan:
-    this is what makes resume probing O(#files) instead of O(input bytes)
-    at 100 TB (round 2 full-scanned the input to decide to skip it).
-    Returns None when the plan has no file source (in-memory DF) or a file
-    is not locally stat-able (remote URI) — callers then fall back to the
-    content fingerprint.
+    (path, size, mtime_ns) of the DataFrame's input files PLUS the
+    canonicalized logical plan — the parquet-dir analogue of an Iceberg
+    snapshot id. Listing + stat only, NO data scan: this is what makes
+    resume probing O(#files) instead of O(input bytes) at 100 TB (round 2
+    full-scanned the input to decide to skip it).
+
+    The plan participates because two DIFFERENT queries over the same
+    files (a limit, a filter, a projection) share a file manifest but not
+    results — manifest-only fingerprints would silently reuse the first
+    query's output for the second. Canonicalized plans normalize
+    expression ids, so the same query shape hashes identically across
+    sessions. Returns None when the plan has no file source (in-memory
+    DF) or a file is not locally stat-able (remote URI) — callers then
+    fall back to the content fingerprint.
     """
     import hashlib
     from urllib.parse import unquote, urlparse
@@ -144,6 +151,11 @@ def fingerprint_files(df: DataFrame) -> str | None:
     if not files:
         return None
     h = hashlib.md5()
+    try:
+        plan = df._jdf.queryExecution().logical().canonicalized().toString()
+    except Exception:
+        return None
+    h.update(plan.encode("utf-8", "replace"))
     for uri in sorted(files):
         parsed = urlparse(uri)
         if parsed.scheme not in ("", "file"):

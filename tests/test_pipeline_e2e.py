@@ -288,6 +288,12 @@ def test_fingerprint_files_semantics(spark, tmp_path_factory):
     assert fp3 != fp1
     # in-memory frame: no file source -> None (caller falls back to content)
     assert fingerprint_files(spark.createDataFrame([(1,)], "x long")) is None
+    # the QUERY PLAN participates: a different transformation over the SAME
+    # files must not share a fingerprint (else resume would silently reuse
+    # the first query's output for the second)
+    fp_lim = fingerprint_files(spark.read.parquet(d).limit(5))
+    fp_fil = fingerprint_files(spark.read.parquet(d).where("id > 10"))
+    assert fp_lim != fp3 and fp_fil != fp3 and fp_lim != fp_fil
 
 
 def test_table_diff(pipeline_run, spark):
@@ -312,8 +318,9 @@ def _norm_lp(lp):
 
 
 def test_misclassified_pairs_operator_surfaces_fns_with_evidence(pipeline_run):
-    """With an impossible threshold every scored label-1 pair becomes an FN:
-    all of them must surface with both sides' fields and a feature row."""
+    """With an impossible threshold EVERY label-1 pair becomes an error —
+    scored ones as FN, never-blocked ones as FN_UNBLOCKED (blocking recall
+    gaps must not be invisible) — all with fields and a feature row."""
     from entity_resolution_pipeline_spark.operators.analyze import misclassified_pairs
     from entity_resolution_pipeline_spark.operators.pairs import FEATURE_NAMES
 
@@ -323,15 +330,20 @@ def test_misclassified_pairs_operator_surfaces_fns_with_evidence(pipeline_run):
     lpn = _norm_lp(lp)
     errors = misclassified_pairs(scored, lpn, records, threshold=2.0)
     rows = errors.collect()
-    expected_fn = lpn.where(F.col("label") == 1).join(
+    expected = lpn.where(F.col("label") == 1).count()
+    n_blocked = lpn.where(F.col("label") == 1).join(
         scored, ["url1", "url2"], "left_semi"
     ).count()
-    assert expected_fn > 0
-    assert len(rows) == expected_fn
-    for r in rows[:50]:
-        assert r["error_type"] == "FN" and r["label"] == 1 and r["pred"] == 0
+    assert expected > 0
+    assert len(rows) == expected
+    by_type = {}
+    for r in rows:
+        by_type[r["error_type"]] = by_type.get(r["error_type"], 0) + 1
+        assert r["label"] == 1 and r["pred"] == 0
         assert len(r["features"]) == len(FEATURE_NAMES)
         assert r["person1"] is not None and r["person2"] is not None
+    assert by_type.get("FN", 0) == n_blocked
+    assert by_type.get("FN_UNBLOCKED", 0) == expected - n_blocked
 
 
 def test_pipeline_misclassification_analysis(pipeline_run):
@@ -344,18 +356,24 @@ def test_pipeline_misclassification_analysis(pipeline_run):
     scored = pipe.catalog.read("scored_pairs")
     expected = (
         _norm_lp(lp)
-        .join(scored, ["url1", "url2"])
+        .join(scored, ["url1", "url2"], "left")
         .where(
-            ((F.col("confidence") >= thr).cast("int") != F.col("label"))
+            F.coalesce(
+                (F.col("confidence") >= thr).cast("int"), F.lit(0)
+            ) != F.col("label")
         )
         .count()
     )
     assert errors.count() == expected
     assert sum(v["n"] for v in summary.values()) == expected
     for r in errors.collect():
-        pred = 1 if r["confidence"] >= thr else 0
+        pred = 1 if (r["confidence"] is not None and r["confidence"] >= thr) else 0
         assert pred != r["label"]
-        assert r["error_type"] == ("FP" if pred == 1 else "FN")
+        if pred == 1:
+            assert r["error_type"] == "FP"
+        else:
+            assert r["error_type"] in ("FN", "FN_UNBLOCKED")
+            assert (r["error_type"] == "FN_UNBLOCKED") == (r["confidence"] is None)
     assert "misclassification" in pipe.metrics
 
 

@@ -251,6 +251,28 @@ def test_asof_join_semantics(spark):
     assert out_tol[3]["value_asof"] == 20.0  # 0-age match survives
 
 
+def test_asof_join_null_payload_is_not_backfilled(spark):
+    """A NULL in the newest right row's payload must surface as NULL (the
+    whole right row matches atomically) — per-column forward-fill would
+    smuggle in an older row's value under the newer row's timestamp."""
+    from datetime import datetime, timedelta
+
+    from entity_resolution_pipeline_spark.operators.asof import asof_join
+
+    t0 = datetime(2026, 1, 1, 9, 0, 0)
+    m = timedelta(minutes=1)
+    left = spark.createDataFrame(
+        [(1, 1, t0 + 3 * m)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + 1 * m, 5.0), (1, t0 + 2 * m, None)],
+        "user_id long, ts timestamp, value double",
+    )
+    r = asof_join(left, right, right_cols=["value"]).collect()[0]
+    assert r["ts_asof"] == t0 + 2 * m
+    assert r["value_asof"] is None  # the newest row's NULL, not 5.0
+
+
 def test_range_join_semantics(spark):
     """[start, end) boundaries, per-key isolation, multi-bucket intervals,
     and no duplicate matches when an interval spans many buckets."""

@@ -22,7 +22,8 @@ from entity_resolution_pipeline_spark.sources.webpages import web_pages_df
 
 
 def main():
-    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_entities = int(pos[0]) if pos else 4000
     detail = "--detail" in sys.argv
     spark = build_spark(app_name="profile-blocking", master="local[32]",
                         shuffle_partitions=32)

@@ -255,11 +255,15 @@ def breakup_oversized(
     big = sizes.where(F.col("size") > max_cluster_size).select("cluster_id")
     if big.isEmpty():
         return clusters
-    big_nodes = clusters.join(F.broadcast(big), "cluster_id").select(
+    # no broadcast hints: each oversized cluster exceeds max_cluster_size
+    # MEMBERS by definition, so big_nodes is unbounded — force-broadcasting
+    # it is the driver-OOM pattern this round removed from blocking; AQE
+    # still broadcasts when the measured sets are actually small
+    big_nodes = clusters.join(big, "cluster_id").select(
         F.col("entity_id").alias("node")
     )
     sub_edges = (
-        edges.join(F.broadcast(big_nodes), edges.src == big_nodes.node)
+        edges.join(big_nodes, edges.src == big_nodes.node)
         .drop("node")
         .where(F.col("weight") >= weight_floor)
     )

@@ -197,7 +197,12 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df_), "tok").select(
+    # NO broadcast hint on the vocabulary: on web text the distinct-token
+    # table is unbounded (the same driver-OOM trap the round-2 blocking
+    # broadcast had). tf is already hash-partitioned by (doc_id, tok), so
+    # the tok-keyed join shuffles once either way; AQE may still choose a
+    # broadcast when the measured vocab is actually small.
+    scored = tf.join(df_, "tok").select(
         "doc_id", "tok", "tf", (F.col("tf") * idf).alias("score")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))

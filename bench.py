@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_embedding_cosine",
+    "dedup_embedding",
     "ann_bruteforce_topk",
     "cc_components",
 ]
@@ -586,7 +586,7 @@ def main():
                     "(unpinned; a co-tenant holds ~9 of 32 CPUs)",
         }
 
-    print(json.dumps({
+    full = {
         "metric": "candidate_pairs_scored_per_sec",
         "value": round(headline, 1),
         "unit": "sec",
@@ -594,7 +594,37 @@ def main():
         "sf": sf_dir,
         "er": er,
         "scaling": scaling,
-    }))
+    }
+    # full payload (verbose scaling evidence: every rep's wall + steal +
+    # utilization + the protocol note) goes to a file; stdout gets ONE
+    # compact line that stays intact even under a 2000-char tail capture —
+    # the driver's record must hold the complete parseable result.
+    detail_path = os.path.join(REPO, "BENCH", "last_run_full.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = dict(full)
+    if scaling:
+        compact["scaling"] = {
+            k: scaling[k]
+            for k in (
+                "tuples",
+                "best_wall_s",
+                "tuples_per_sec",
+                "efficiency_2_to_8",
+                "efficiency_2_to_8_median",
+                "efficiency_8_to_32",
+            )
+            if k in scaling
+        }
+        compact["scaling"]["detail"] = "BENCH/last_run_full.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never let the driver tail-truncate the line
+        compact["queries"] = {
+            k: v for k, v in sorted(queries.items(), key=lambda kv: -kv[1])[:15]
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

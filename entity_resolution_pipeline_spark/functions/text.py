@@ -83,16 +83,23 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
 # language (absolute floor keeps the rule SQL-trivial and length-robust)
 TRIGRAM_MIN_HITS = 3
 
+# Language-ID needs a sample, not the document: trigram extraction is
+# bounded to this many normalized chars so a multi-MB page costs the same
+# as a 4 KB one (the Spark side's per-char lambda is interpreted, not
+# codegen — unbounded it would be a stage-wall hazard at web scale).
+LANGID_MAX_CHARS = 4096
+
 
 def detect_language_trigram(text: str) -> str:
     """Python twin of operators/textstats.language_id_v2 (pytest-pinned).
 
     Distinct char trigrams of the space-padded, lowercased, ws-normalized
-    text are intersected with each language profile; most hits wins, ties
-    go to the lexicographically smallest language, fewer than
-    TRIGRAM_MIN_HITS distinct hits -> 'und'.
+    text (first LANGID_MAX_CHARS chars only) are intersected with each
+    language profile; most hits wins, ties go to the lexicographically
+    smallest language, fewer than TRIGRAM_MIN_HITS distinct hits -> 'und'.
+    None and empty text both -> 'und'.
     """
-    norm = normalize_text(text).lower()
+    norm = normalize_text(text).lower()[:LANGID_MAX_CHARS]
     if not norm:
         return "und"
     padded = " " + norm + " "

@@ -45,7 +45,12 @@ def misclassified_pairs(
     recall gaps invisible to exactly the tool meant to find them. Such
     rows predict 0 (NULL confidence) and carry ``error_type =
     'FN_UNBLOCKED'``, distinguishing blocking misses from classifier-
-    threshold misses ('FN').
+    threshold misses ('FN'). One step further upstream: a labeled pair
+    whose url is absent from the records table entirely (the page was
+    filtered during preprocess) has no evidence row either — those are
+    kept too, with NULL fields/features and ``error_type =
+    'FN_UNRECORDED'`` (evidence joins are LEFT joins onto the error set,
+    never inner).
     """
     s = scored.select(
         "url1", "url2", "confidence", F.col("prefilter").alias("prefilter_s")
@@ -73,8 +78,18 @@ def misclassified_pairs(
     evidence = wide.select("url1", "url2", "pair_key", *field_cols).join(
         feats, "pair_key"
     )
+    # LEFT join: an error row must survive even when one side's record was
+    # filtered out during preprocess (no evidence row exists at all) — that
+    # is exactly the failure this tool exists to surface.
     return (
-        errors.join(evidence, ["url1", "url2"])
+        errors.join(evidence, ["url1", "url2"], "left")
+        .withColumn(
+            "error_type",
+            F.when(
+                F.col("pair_key").isNull() & (F.col("label") == 1),
+                "FN_UNRECORDED",
+            ).otherwise(F.col("error_type")),
+        )
         .select(
             "url1", "url2", "label", "pred", "error_type",
             "confidence", F.col("prefilter_s").alias("prefilter"),

@@ -34,8 +34,14 @@ from .util import ensure_parallelism
 from ..functions.minhash import MinHasher
 from ..functions.years import normalize_name
 
-DEFAULT_NUM_PERM = 64
-DEFAULT_BANDS = 16
+# 32 perms x 8 bands (r=4 rows/band, LSH S-curve threshold ~(1/8)^(1/4)
+# ≈ 0.59) — measured A/B vs the round-3 64x16 (threshold 0.5): blocked-
+# pairs F1 stays 1.0000 at 200 AND 1000 entities (all-pairs recall
+# 0.9929/0.9905 vs 0.9964/0.9943) while the sketch kernel and the LSH key
+# fan-out HALVE (8 keys/doc instead of 16 — fewer rows through the count
+# window, the self-join, and the pair distinct).
+DEFAULT_NUM_PERM = 32
+DEFAULT_BANDS = 8
 DEFAULT_MAX_BLOCK = 64
 
 
@@ -171,9 +177,16 @@ def candidate_pairs(
     from pyspark.sql import Window
 
     keyed = keys.select("url", "key", F.xxhash64("key").alias("kh"))
+    # THREE consumers read the size-annotated key rows (the in-cap join
+    # sides, the window_cap hot branch, and the returned oversized table);
+    # without a persist each consumer re-runs the count window — measured
+    # ~2x the whole stage's useful work at bench scale. The cached rows
+    # are (url, key-hash, count): a fraction of the input record table,
+    # MEMORY_AND_DISK, exactly what a 100 TB run would materialize between
+    # the sizing and pair-generation stages.
     sized = keyed.withColumn(
         "block_size", F.count(F.lit(1)).over(Window.partitionBy("kh"))
-    )
+    ).persist()
     oversized = (
         sized.where(F.col("block_size") > max_block_size)
         .groupBy("key")
@@ -181,8 +194,13 @@ def candidate_pairs(
     )
 
     # self-join on the 8-byte hash of the (long string) key: much smaller
-    # shuffle and faster comparisons.
-    ok = sized.where(F.col("block_size") <= max_block_size).select("url", "kh")
+    # shuffle and faster comparisons. Singleton blocks (the vast majority
+    # of LSH band keys) can never produce a pair — dropping them here
+    # keeps them out of both join hash tables for free (the predicate
+    # rides the window output; no extra shuffle).
+    ok = sized.where(
+        (F.col("block_size") <= max_block_size) & (F.col("block_size") >= 2)
+    ).select("url", "kh")
     a = ok.alias("a")
     b = ok.alias("b")
     pairs = (

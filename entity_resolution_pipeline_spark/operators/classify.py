@@ -193,13 +193,13 @@ def rfe_select(
     Iteratively fits the balanced z-scored IRLS LR on the remaining
     features and drops the one with the smallest absolute standardized
     weight, until ``min_features`` (default: the reference's
-    max(5, ceil(0.2 * n_features))) remain. Returns the selected column
-    indices in original order. Deterministic: ties drop the
-    highest-indexed feature.
+    max(5, int(0.2 * n_features)) — a floor, classification.py:560) remain.
+    Returns the selected column indices in original order. Deterministic:
+    ties drop the highest-indexed feature.
     """
     n = X.shape[1]
     if min_features is None:
-        min_features = max(5, int(np.ceil(0.2 * n)))
+        min_features = max(5, int(0.2 * n))
     keep = list(range(n))
     while len(keep) > min_features:
         m = fit_logistic_regression(

@@ -135,13 +135,31 @@ def ngram_jaccard_pairs(
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("bkey"))
     )
-    fb_block = Window.partitionBy("bkey").orderBy("doc_id")
-    fbn = fbk.withColumn("brn", F.row_number().over(fb_block))
+    # Fallback blocks share the min-df token of an unbounded boilerplate
+    # cluster, so the neighbor-rank window would otherwise sort the whole
+    # cluster in ONE task. Blocks above ``salt_block`` docs are pre-split
+    # by a deterministic doc_id salt (same policy as the ER blocking
+    # stage's mega-block cap): per-task sort work is O(block/n_sub log),
+    # cross-salt pairs are dropped — the bounded-recall trade the cap
+    # already makes, and chain-connect + downstream CC still closes
+    # near-identical clusters. doc_id % n_sub (not a hash) keeps the
+    # split exactly DuckDB-replayable.
+    salt_block = 4 * max_anchor_df
+    fb_sizes = fbk.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsz"))
+    n_sub = F.greatest(
+        F.lit(1), F.ceil(F.col("bsz") / F.lit(float(salt_block))).cast("int")
+    )
+    fbs = fbk.join(fb_sizes, "bkey").withColumn(
+        "salt", F.pmod(F.col("doc_id"), n_sub.cast("bigint"))
+    )
+    fb_block = Window.partitionBy("bkey", "salt").orderBy("doc_id")
+    fbn = fbs.withColumn("brn", F.row_number().over(fb_block))
     f1, f2 = fbn.alias("f1"), fbn.alias("f2")
     fb_cand = (
         f1.join(
             f2,
             (F.col("f1.bkey") == F.col("f2.bkey"))
+            & (F.col("f1.salt") == F.col("f2.salt"))
             & (F.col("f2.brn") > F.col("f1.brn"))
             & (F.col("f2.brn") <= F.col("f1.brn") + fallback_neighbor_cap),
         )
@@ -248,7 +266,12 @@ def minhash_lsh_pairs(
     matching-component fraction, verified on the joined pair.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
+    # sigs feed THREE plan branches (band explode + both verify join-backs):
+    # without a persist the Arrow sketch kernel — the single most expensive
+    # step — runs three times per action. The cached sketch is tiny
+    # (num_perm longs per doc, ~1000x smaller than the documents), exactly
+    # the relation a 100 TB run would materialize to its own table.
+    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k).persist()
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"md5(concat(cast(b as string), ':', "
@@ -377,6 +400,11 @@ def near_dup_clusters(
     pairs = fns[method](docs, text_col, **kw)
     from .cluster import assign_clusters
 
+    # CC consumes the edge set several times (size probe + iterative star
+    # joins / driver fast path); persist the near-dup pairs — by
+    # construction a small fraction of the corpus — so the whole pair
+    # pipeline (sketch kernel, band join, distinct, verify) runs once.
+    pairs = pairs.persist()
     edges = pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
     nodes = docs.select(F.col("doc_id").alias("node"))
     cl = assign_clusters(edges, nodes)

@@ -8,20 +8,23 @@ libraries exist and otherwise fall back to deterministic fakes:
 
 - ``media_metadata``: sniff magic bytes + sizes (real, pure Python over
   Arrow batches).
-- ``decode_image_features`` / ``resize_images``: try PIL at runtime
-  (``decoder='auto'``, the default); without it the deterministic fake
-  kernel (byte histogram / byte resample) runs. Every output row carries a
-  ``kernel`` column ('pil' or 'fake') so downstream consumers can tell
-  which path produced it.
+- ``decode_image_features`` / ``resize_images``: backend ladder PIL >
+  purepng > fake, resolved at runtime per executor (``decoder='auto'``,
+  the default). purepng is the vendored pure-Python PNG codec
+  (functions/purepng.py) — a real decode path that exists everywhere, so
+  PNG rows decode for real even without PIL; non-PNG rows fall back to
+  the deterministic fake kernel per row. Every output row carries a
+  ``kernel`` column ('pil' / 'purepng' / 'fake') so downstream consumers
+  can tell which path produced it.
 - ``sample_video_frames``: tries imageio(+pyav/ffmpeg) the same way; fake
   frames are deterministic equal-stride payload slices.
 
-``decoder`` accepts 'auto' (real if available else fake), 'real' (raise
-NotImplementedError when no codec), 'fake' (always the stub — what the
-deterministic tests pin). The legacy ``use_fake_decoder`` flag maps onto
-these. No codec libraries ship in this container, so the real branches are
-import-gated best-effort paths; the contract (schemas, NULL handling,
-determinism of the fake) is what the tests pin.
+``decoder`` accepts 'auto' (best available real codec, fake fallback),
+'real' (raise NotImplementedError when no codec), 'fake' (always the stub
+— what the deterministic tests pin). The legacy ``use_fake_decoder`` flag
+maps onto these when explicitly passed. PIL/imageio do not ship in this
+container, so those branches are import-gated; the purepng branch runs
+for real here and is pytest-pinned end-to-end.
 
 Pattern note: keep binary columns OUT of shuffles — derive features early,
 write them to their own table, and join by id. ``html`` in the ER pipeline
@@ -102,7 +105,10 @@ def _image_backend() -> str | None:
 
         return "pil"
     except ImportError:
-        return None
+        # vendored pure-Python PNG codec (functions/purepng.py): a REAL,
+        # spec-conformant decode path that exists everywhere — PNG rows
+        # decode for real, other formats take the per-row fake fallback
+        return "purepng"
 
 
 def _video_backend() -> str | None:
@@ -114,8 +120,19 @@ def _video_backend() -> str | None:
         return None
 
 
-def _mode(decoder: str | None, use_fake_decoder: bool) -> str:
-    return decoder if decoder is not None else ("fake" if use_fake_decoder else "real")
+def _mode(decoder: str | None, use_fake_decoder: bool | None) -> str:
+    """Resolve the effective decode mode.
+
+    ``decoder`` wins when given; otherwise the legacy ``use_fake_decoder``
+    flag (only when EXPLICITLY passed) maps True->'fake', False->'real';
+    with neither given the default is 'auto' — real codecs picked up when
+    the executor has them, deterministic fakes otherwise (matches the
+    module docstring)."""
+    if decoder is not None:
+        return decoder
+    if use_fake_decoder is not None:
+        return "fake" if use_fake_decoder else "real"
+    return "auto"
 
 
 def _resolve(mode: str, backend: str | None, what: str) -> str:
@@ -168,7 +185,7 @@ def decode_image_features(
     df: DataFrame,
     id_col: str = "id",
     bin_col: str = "payload",
-    use_fake_decoder: bool = True,
+    use_fake_decoder: bool | None = None,
     decoder: str | None = None,
 ) -> DataFrame:
     """binary -> fixed-width feature vector + real-or-fake ``kernel`` tag.
@@ -189,6 +206,8 @@ def decode_image_features(
             import io
 
             from PIL import Image
+        elif kernel == "purepng":
+            from ..functions import purepng
         for pdf in batches:
             feats, ws, hs, ks = [], [], [], []
             for b in pdf[bin_col]:
@@ -204,6 +223,18 @@ def decode_image_features(
                         continue
                     except Exception:
                         pass  # corrupt bytes: per-row fake fallback below
+                elif kernel == "purepng" and b is not None and len(b) > 0:
+                    try:
+                        img = purepng.decode_png(bytes(b))
+                        px = purepng.to_grayscale(img).ravel()
+                        hist, _ = np.histogram(px, bins=IMAGE_FEATURE_DIM, range=(0, 256))
+                        feats.append((hist / max(px.size, 1)).astype(np.float32).tolist())
+                        ws.append(int(img.shape[1]))
+                        hs.append(int(img.shape[0]))
+                        ks.append("purepng")
+                        continue
+                    except Exception:
+                        pass  # non-PNG / unsupported: per-row fake fallback
                 f, w, h = _fake_image_row(b)
                 feats.append(f)
                 ws.append(w)
@@ -234,7 +265,7 @@ def resize_images(
     target_h: int = 64,
     id_col: str = "id",
     bin_col: str = "payload",
-    use_fake_decoder: bool = True,
+    use_fake_decoder: bool | None = None,
     decoder: str | None = None,
 ) -> DataFrame:
     """binary -> fixed-size binary + dims + ``kernel`` tag.
@@ -262,6 +293,8 @@ def resize_images(
             import io
 
             from PIL import Image
+        elif kernel == "purepng":
+            from ..functions import purepng
         for pdf in batches:
             payloads, ks = [], []
             for b in pdf[bin_col]:
@@ -271,6 +304,16 @@ def resize_images(
                         img = img.resize((target_w, target_h))
                         payloads.append(img.tobytes())
                         ks.append("pil")
+                        continue
+                    except Exception:
+                        pass
+                elif kernel == "purepng" and b is not None and len(b) > 0:
+                    try:
+                        gray = purepng.to_grayscale(purepng.decode_png(bytes(b)))
+                        payloads.append(
+                            purepng.resize_nearest(gray, target_w, target_h).tobytes()
+                        )
+                        ks.append("purepng")
                         continue
                     except Exception:
                         pass
@@ -304,7 +347,7 @@ def sample_video_frames(
     n_frames: int = 4,
     id_col: str = "id",
     bin_col: str = "payload",
-    use_fake_decoder: bool = True,
+    use_fake_decoder: bool | None = None,
     decoder: str | None = None,
 ) -> DataFrame:
     """binary video -> one row per sampled frame (1 -> N batch shape).

@@ -18,6 +18,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from .util import ensure_parallelism
 from ..functions.text import (
+    LANGID_MAX_CHARS,
     STOPWORDS,
     TRIGRAM_MIN_HITS,
     TRIGRAM_PROFILES,
@@ -174,7 +175,10 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
 
     tf = term count within the doc; idf = ln((N + 1) / (df + 1)) + 1 (the
@@ -185,6 +189,11 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     global df aggregation (tiny — vocabulary-sized, broadcast back), one
     per-doc window. All JVM; the DuckDB oracle replays scores exactly
     (same double-precision ln on both engines).
+
+    ``n_docs``: pass the (often already-known) corpus size to keep the
+    plan a single job; when None it rides along as a 1-row aggregate
+    cross-joined onto the vocabulary table — still one job, no separate
+    driver-side count (a second full scan per call at 100 TB).
     """
     from pyspark.sql import Window
 
@@ -194,9 +203,14 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
         .where(F.col("tok") != "")
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    if n_docs is None:
+        nd = docs.agg(F.countDistinct("doc_id").alias("_n_docs"))
+        df_ = df_.crossJoin(nd)  # 1-row aggregate: broadcast NLJ, bounded
+        n_col = F.col("_n_docs").cast("double")
+    else:
+        n_col = F.lit(float(n_docs))
+    idf = F.log((n_col + 1.0) / (F.col("df") + 1.0)) + 1.0
     # NO broadcast hint on the vocabulary: on web text the distinct-token
     # table is unbounded (the same driver-OOM trap the round-2 blocking
     # broadcast had). tf is already hash-partitioned by (doc_id, tok), so
@@ -319,9 +333,18 @@ def language_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     can't (affixes, digraphs like 'sch'/'ção'/'się'), so coverage goes
     from 4 languages to 13 while staying whole-stage-codegen and exactly
     DuckDB-replayable (list literals + list_intersect).
+
+    Scale bound: trigram extraction runs over the first LANGID_MAX_CHARS
+    (4096) normalized chars only — the `transform` lambda is interpreted
+    per element, so the cap turns a per-document O(len) interpreted loop
+    into a constant-bounded sample (language-ID needs a sample, not the
+    whole page). NULL text behaves exactly like empty text -> 'und'
+    (matching the Python twin detect_language_trigram).
     """
     docs = ensure_parallelism(docs)
-    norm = F.lower(_NORM(F.col(text_col)))
+    norm = F.substring(
+        F.coalesce(F.lower(_NORM(F.col(text_col))), F.lit("")), 1, LANGID_MAX_CHARS
+    )
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
     tris = F.array_distinct(
         F.expr(

@@ -127,13 +127,39 @@ class Catalog:
         self.drop(backup)
 
 
-def fingerprint_files(df: DataFrame) -> str | None:
+def _stat_uri(df: DataFrame, uri: str) -> tuple[int, int]:
+    """(size, mtime) for one input-file URI WITHOUT reading data.
+
+    Local paths use os.stat (ns mtime). Any other scheme (s3a://, hdfs://,
+    gs://, ...) goes through the JVM's Hadoop FileSystem ``getFileStatus``
+    — the same LIST/HEAD metadata call the scan planner makes, so the
+    no-scan resume probe works exactly where it matters most: object
+    stores, where a content re-scan of the input would bill 100 TB of GETs.
+    Raises on anything un-stat-able; the caller degrades to None.
+    """
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        st = os.stat(unquote(parsed.path))
+        return st.st_size, st.st_mtime_ns
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    st = p.getFileSystem(conf).getFileStatus(p)
+    return int(st.getLen()), int(st.getModificationTime())
+
+
+def fingerprint_files(df: DataFrame, stat_fn=None) -> str | None:
     """Metadata-level source fingerprint: md5 over the sorted file manifest
-    (path, size, mtime_ns) of the DataFrame's input files PLUS the
+    (path, size, mtime) of the DataFrame's input files PLUS the
     canonicalized logical plan — the parquet-dir analogue of an Iceberg
     snapshot id. Listing + stat only, NO data scan: this is what makes
     resume probing O(#files) instead of O(input bytes) at 100 TB (round 2
-    full-scanned the input to decide to skip it).
+    full-scanned the input to decide to skip it). Non-local URIs stat via
+    the Hadoop FileSystem metadata API (see ``_stat_uri``) instead of
+    silently degrading to a content scan.
 
     The plan participates because two DIFFERENT queries over the same
     files (a limit, a filter, a projection) share a file manifest but not
@@ -141,12 +167,13 @@ def fingerprint_files(df: DataFrame) -> str | None:
     query's output for the second. Canonicalized plans normalize
     expression ids, so the same query shape hashes identically across
     sessions. Returns None when the plan has no file source (in-memory
-    DF) or a file is not locally stat-able (remote URI) — callers then
-    fall back to the content fingerprint.
+    DF) or a file is not stat-able at all — callers then fall back to the
+    content fingerprint. ``stat_fn(df, uri) -> (size, mtime)`` is
+    injectable for tests.
     """
     import hashlib
-    from urllib.parse import unquote, urlparse
 
+    stat_fn = stat_fn or _stat_uri
     files = df.inputFiles()
     if not files:
         return None
@@ -157,15 +184,11 @@ def fingerprint_files(df: DataFrame) -> str | None:
         return None
     h.update(plan.encode("utf-8", "replace"))
     for uri in sorted(files):
-        parsed = urlparse(uri)
-        if parsed.scheme not in ("", "file"):
-            return None
-        p = unquote(parsed.path)
         try:
-            st = os.stat(p)
-        except OSError:
+            size, mtime = stat_fn(df, uri)
+        except Exception:
             return None
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+        h.update(f"{uri}|{size}|{mtime}\n".encode())
     return f"meta:{len(files)}:{h.hexdigest()}"
 
 

@@ -59,7 +59,8 @@ def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
 
 
 def dedup_stream(docs: DataFrame, text_col: str = "text", ts_col: str = "ts",
-                 watermark: str = "2 hours") -> DataFrame:
+                 watermark: str = "2 hours",
+                 batch_order: list[str] | None = None) -> DataFrame:
     """Streaming exact dedup: first-seen row per normalized-text hash wins.
 
     The training-data ingest shape: state is keyed on the 16-byte
@@ -68,12 +69,26 @@ def dedup_stream(docs: DataFrame, text_col: str = "text", ts_col: str = "ts",
     size ~ distinct keys per watermark horizon, not corpus size. The full
     128-bit digest (not a 64-bit truncation) keeps birthday collisions —
     which would silently DROP distinct documents here — at ~n^2/2^129.
-    Batch inputs degrade to a plain dropDuplicates (same key).
+
+    Batch degenerate: with ``batch_order`` given (e.g. ``["ts"]`` or
+    ``["doc_id"]``), the MIN row per key under that ordering survives —
+    the deterministic, SQL-replayable twin of the stream's first-seen-wins
+    (and the shape the contract oracle pins); without it, a plain
+    dropDuplicates (any row per key, cheapest plan).
     """
+    from pyspark.sql import Window
+
     key = F.unhex(F.md5(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
     keyed = docs.withColumn("tkey", key)
     if docs.isStreaming:
         return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["tkey"])
+    if batch_order:
+        w = Window.partitionBy("tkey").orderBy(*batch_order)
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return keyed.dropDuplicates(["tkey"])
 
 

@@ -550,27 +550,149 @@ class TestMultimodal:
         assert feats2[0]["features"] == feats[0]["features"]
 
     def test_decoder_resolution_and_kernel_tag(self, spark):
-        """decoder='auto' must fall back to the fake kernel in this
-        codec-less container (tagged per row); decoder='real' must raise;
-        the legacy use_fake_decoder flag maps onto the same modes."""
+        """Without PIL the backend ladder lands on the vendored purepng
+        codec; a PNG-header-only garbage row still falls back to the fake
+        kernel PER ROW; decoder='real' resolves to purepng for images (a
+        real codec) but still raises for video, where no codec exists."""
         import pytest as _pytest
 
         from entity_resolution_pipeline_spark.operators.multimodal import (
             _image_backend,
+            _video_backend,
             decode_image_features,
+            sample_video_frames,
         )
 
-        assert _image_backend() is None  # no PIL here — 'auto' means fake
+        assert _image_backend() == "purepng"  # no PIL — vendored codec wins
         df = spark.createDataFrame(
             [(0, bytearray(b"\x89PNG\r\n" + bytes(range(64))))],
             "id long, payload binary",
         )
         rows = decode_image_features(df, decoder="auto").collect()
-        assert rows[0]["kernel"] == "fake"
+        assert rows[0]["kernel"] == "fake"  # invalid PNG body: row fallback
+        rows_real = decode_image_features(df, decoder="real").collect()
+        assert rows_real[0]["kernel"] == "fake"
+        assert _video_backend() is None
         with _pytest.raises(NotImplementedError):
-            decode_image_features(df, decoder="real").collect()
+            sample_video_frames(df, decoder="real").collect()
         with _pytest.raises(NotImplementedError):
-            decode_image_features(df, use_fake_decoder=False).collect()
+            sample_video_frames(df, use_fake_decoder=False).collect()
+
+    def test_purepng_codec_roundtrip_and_filters(self):
+        """Vendored PNG codec: encode->decode roundtrip is bit-exact for
+        gray/RGB/RGBA, and hand-filtered streams (all five spec filters)
+        reconstruct the same pixels."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from entity_resolution_pipeline_spark.functions.purepng import (
+            _SIG,
+            decode_png,
+            encode_png,
+            resize_nearest,
+            to_grayscale,
+        )
+
+        rng = np.random.RandomState(42)
+        for ch in (1, 3, 4):
+            img = rng.randint(0, 256, size=(13, 7, ch), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(img)), img)
+
+        img = rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8)
+
+        def encode_with_filter(img, ftype):
+            h, w, ch = img.shape
+            a = img.astype(np.int32)
+            raw = bytearray()
+            prev = np.zeros((w, ch), dtype=np.int32)
+            for y in range(h):
+                cur = a[y]
+                flat_c = cur.reshape(-1)
+                flat_p = prev.reshape(-1)
+                out = np.zeros_like(flat_c)
+                for i in range(len(flat_c)):
+                    left = flat_c[i - ch] if i >= ch else 0
+                    up = flat_p[i]
+                    ul = flat_p[i - ch] if i >= ch else 0
+                    if ftype == 0:
+                        pred = 0
+                    elif ftype == 1:
+                        pred = left
+                    elif ftype == 2:
+                        pred = up
+                    elif ftype == 3:
+                        pred = (left + up) // 2
+                    else:
+                        p = left + up - ul
+                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                        pred = left if (pa <= pb and pa <= pc) else (
+                            up if pb <= pc else ul)
+                    out[i] = (flat_c[i] - pred) % 256
+                raw.append(ftype)
+                raw.extend(out.astype(np.uint8).tobytes())
+                prev = cur
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+            def chunk(t, p):
+                return (struct.pack(">I", len(p)) + t + p
+                        + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+            return (_SIG + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b""))
+
+        for ftype in range(5):
+            assert np.array_equal(decode_png(encode_with_filter(img, ftype)), img), ftype
+
+        # grayscale = ITU-R 601-2 integer luma; nearest resize picks centers
+        g = to_grayscale(img)
+        r, gg, b = (img[:, :, i].astype(np.uint32) for i in range(3))
+        assert np.array_equal(g, ((r * 299 + gg * 587 + b * 114) // 1000).astype(np.uint8))
+        rs = resize_nearest(g, 3, 3)
+        assert rs.shape == (3, 3)
+
+    def test_decode_and_resize_use_real_purepng_kernel(self, spark):
+        """End-to-end through the Spark operators: a valid PNG row decodes
+        on the REAL purepng branch (kernel tag, true dimensions, histogram
+        of decoded luma — not of the compressed bytes); garbage rows in the
+        same batch still take the fake path."""
+        import numpy as np
+
+        from entity_resolution_pipeline_spark.functions.purepng import (
+            encode_png,
+            resize_nearest,
+            to_grayscale,
+        )
+        from entity_resolution_pipeline_spark.operators.multimodal import (
+            decode_image_features,
+            resize_images,
+        )
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        png = encode_png(img)
+        df = spark.createDataFrame(
+            [(0, bytearray(png)), (1, bytearray(b"not an image"))],
+            "id long, payload binary",
+        )
+        rows = {r["id"]: r for r in decode_image_features(df).collect()}
+        assert rows[0]["kernel"] == "purepng"
+        assert rows[0]["width"] == 17 and rows[0]["height"] == 24
+        px = to_grayscale(img).ravel()
+        hist, _ = np.histogram(px, bins=16, range=(0, 256))
+        expect = (hist / px.size).astype(np.float32).tolist()
+        assert rows[0]["features"] == expect
+        assert rows[1]["kernel"] == "fake"
+
+        out = {r["id"]: r for r in
+               resize_images(df, target_w=8, target_h=8).collect()}
+        assert out[0]["kernel"] == "purepng"
+        assert bytes(out[0]["payload_resized"]) == resize_nearest(
+            to_grayscale(img), 8, 8).tobytes()
+        assert out[1]["kernel"] == "fake"
+        assert len(out[1]["payload_resized"]) == 64
 
     def test_resize_plumbing(self, spark):
         """Resize stub: size-exact output, deterministic, NULL-safe."""

@@ -296,6 +296,46 @@ def test_fingerprint_files_semantics(spark, tmp_path_factory):
     assert fp_lim != fp3 and fp_fil != fp3 and fp_lim != fp_fil
 
 
+def test_fingerprint_files_object_store_metadata_path(spark, tmp_path_factory):
+    """Non-local URIs must take the metadata (size, mtime) path — never
+    degrade to None/content-scan just because os.stat can't see them. The
+    object-store stat is injected (no s3 here); a changed etag/mtime flips
+    the fingerprint."""
+    from entity_resolution_pipeline_spark.sources.catalog import fingerprint_files
+
+    d = str(tmp_path_factory.mktemp("fpf_s3"))
+    spark.range(50).write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d)
+    local_uris = sorted(df.inputFiles())
+    remote_map = {
+        u: f"s3a://bucket/warehouse/{i}.parquet" for i, u in enumerate(local_uris)
+    }
+    df.inputFiles = lambda: [remote_map[u] for u in local_uris]  # type: ignore
+
+    def stat_v1(_df, uri):
+        assert uri.startswith("s3a://")  # proves the non-local branch is used
+        return 1234, 99  # (size, mtime-or-etag) from the store's listing
+
+    def stat_v2(_df, uri):
+        return 1234, 100  # same size, newer mtime/etag
+
+    fp_a = fingerprint_files(df, stat_fn=stat_v1)
+    fp_b = fingerprint_files(df, stat_fn=stat_v1)
+    fp_c = fingerprint_files(df, stat_fn=stat_v2)
+    assert fp_a is not None and fp_a.startswith("meta:")
+    assert fp_a == fp_b and fp_c != fp_a
+    # default stat path on a real non-local URI goes through Hadoop's
+    # FileSystem API — file:// handled there too, same status fields
+    from entity_resolution_pipeline_spark.sources.catalog import _stat_uri
+
+    size, mtime = _stat_uri(df, local_uris[0])
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    st = _os.stat(unquote(urlparse(local_uris[0]).path))
+    assert size == st.st_size and mtime == st.st_mtime_ns
+
+
 def test_table_diff(pipeline_run, spark):
     from entity_resolution_pipeline_spark.sources.catalog import table_diff
 
@@ -344,6 +384,33 @@ def test_misclassified_pairs_operator_surfaces_fns_with_evidence(pipeline_run):
         assert r["person1"] is not None and r["person2"] is not None
     assert by_type.get("FN", 0) == n_blocked
     assert by_type.get("FN_UNBLOCKED", 0) == expected - n_blocked
+
+
+def test_misclassified_pairs_keeps_unrecorded_labels(pipeline_run, spark):
+    """A labeled positive whose url never made it into the records table
+    (page filtered during preprocess) must still appear — as
+    FN_UNRECORDED with NULL fields/features — not be silently dropped by
+    the evidence joins."""
+    from entity_resolution_pipeline_spark.operators.analyze import misclassified_pairs
+
+    pipe, *_ = pipeline_run
+    scored = pipe.catalog.read("scored_pairs")
+    records = pipe.catalog.read("records")
+    some_url = records.select("url").limit(1).collect()[0]["url"]
+    ghost = spark.createDataFrame(
+        [("http://ghost.example/filtered-out", some_url)], ["left", "right"]
+    ).select(
+        F.least("left", "right").alias("url1"),
+        F.greatest("left", "right").alias("url2"),
+        F.lit(1).alias("label"),
+    )
+    errors = misclassified_pairs(scored, ghost, records, threshold=0.9)
+    rows = errors.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["error_type"] == "FN_UNRECORDED"
+    assert r["pred"] == 0 and r["confidence"] is None
+    assert r["features"] is None and r["person1"] is None
 
 
 def test_pipeline_misclassification_analysis(pipeline_run):

@@ -352,3 +352,80 @@ def test_catchup_is_incremental(spark, tmp_warehouse):
     run_catchup(spark, src, out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2
+
+
+def test_asof_join_bucketed_equivalence_random(spark):
+    """asof_join_bucketed == asof_join value-for-value on a random corpus
+    spanning many keys and buckets (incl. tolerance), with a tiny bucket
+    width so carry-in crosses many empty buckets."""
+    import random
+    from datetime import datetime, timedelta
+
+    from entity_resolution_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    rng = random.Random(7)
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    s = timedelta(seconds=1)
+    left_rows = [
+        (i, rng.randrange(5), t0 + rng.randrange(0, 50_000) * s)
+        for i in range(400)
+    ]
+    right_rows = [
+        (rng.randrange(5), t0 + rng.randrange(0, 50_000) * s, float(i))
+        for i in range(300)
+    ]
+    # distinct (key, ts) on the right: equal-ts dup rows are documented
+    # ambiguous on both paths
+    seen = set()
+    right_rows = [r for r in right_rows
+                  if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp, value double"
+    )
+    for tol in (None, "300 seconds"):
+        a = {tuple(r) for r in asof_join(
+            left, right, right_cols=["value"], tolerance=tol).collect()}
+        b = {tuple(r) for r in asof_join_bucketed(
+            left, right, right_cols=["value"], tolerance=tol,
+            bucket_seconds=600).collect()}
+        assert a == b and len(a) == 400
+
+
+def test_asof_join_bucketed_megakey_multitask(spark):
+    """One mega-key: the bucketed plan partitions the exact pass by
+    (key, bucket) — the hot key's sort spreads over many buckets/tasks —
+    and the output still equals the plain path."""
+    from datetime import datetime, timedelta
+
+    from entity_resolution_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    s = timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [(i, 1, t0 + (i * 37) * s) for i in range(2000)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + (i * 91) * s, float(i)) for i in range(800)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join_bucketed(left, right, right_cols=["value"],
+                             bucket_seconds=3600)
+    # the exact-pass exchange must hash on (user_id, _bkt), not user_id
+    # alone — that is what splits the mega-key across tasks
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan and "hashpartitioning" in plan
+    n_buckets = (2000 * 37) // 3600 + 1
+    assert n_buckets > 10  # the mega-key really spans many partitions
+    a = {tuple(r) for r in asof_join(left, right, right_cols=["value"]).collect()}
+    b = {tuple(r) for r in out.collect()}
+    assert a == b and len(a) == 2000

@@ -1,66 +1,70 @@
-"""Fine-grained timing of the blocking+pairs stage (bench.py build_pair_fields).
+"""Profile the blocking+pairs stage (bench.py's blocking_pairs_s) split by
+sub-stage, at the bench's sf0.1-equivalent synthetic corpus (4000 entities).
 
-Usage: python tools/profile_blocking.py [n_entities] [--detail]
-
-Default mode reproduces bench.py's timing EXACTLY (keys persist+count, then
-one write job over candidate_pairs + attach + with_pair_key), which is the
-`blocking_pairs_s` number the driver records. --detail adds per-component
-timings (each triggers extra computations, so the total differs from bench).
+Usage: python tools/profile_blocking.py [n_entities] [--bands B --perm P]
 """
+from __future__ import annotations
+
 import os
 import sys
-import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from entity_resolution_pipeline_spark.session import build_spark
-from entity_resolution_pipeline_spark.operators import blocking as B
-from entity_resolution_pipeline_spark.operators import pairs as P
-from entity_resolution_pipeline_spark.operators.preprocess import preprocess_records
-from entity_resolution_pipeline_spark.sources.webpages import web_pages_df
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
-def main():
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_entities = int(pos[0]) if pos else 4000
-    detail = "--detail" in sys.argv
-    spark = build_spark(app_name="profile-blocking", master="local[32]",
-                        shuffle_partitions=32)
+def main() -> None:
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    bands = int(os.environ.get("PB_BANDS", "16"))
+    perm = int(os.environ.get("PB_PERM", "64"))
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    from entity_resolution_pipeline_spark.operators import blocking as B
+    from entity_resolution_pipeline_spark.operators import pairs as P
+    from entity_resolution_pipeline_spark.operators.preprocess import preprocess_records
+    from entity_resolution_pipeline_spark.sources.webpages import web_pages_df
+
     wp = web_pages_df(spark, n_entities)
     records = preprocess_records(wp)
     records.persist()
     n = records.count()
     print(f"pages={n}", flush=True)
 
-    if detail:
-        t = {}
-        for name, fn in (("name_keys", B.name_keys), ("host_keys", B.host_keys),
-                         ("lsh_keys", B.lsh_keys)):
-            t0 = time.time()
-            c = fn(records).count()
-            t[name] = time.time() - t0
-            print(f"{name}: {c} rows {t[name]:.2f}s", flush=True)
+    out_dir = "/tmp/pb_pairs"
+    for rep in range(2):
+        t_all = time.time()
+        t0 = time.time()
+        keys = B.all_blocking_keys(records, num_perm=perm, bands=bands).persist()
+        nk = keys.count()
+        t_keys = time.time() - t0
 
-    # ---- bench-faithful timing (what BENCH records as blocking_pairs_s) ----
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="profile_blk_"), "pair_fields")
-    t0 = time.time()
-    keys = B.all_blocking_keys(records).persist()
-    keys.count()
-    t_keys = time.time() - t0
-    pairs, oversized = B.candidate_pairs(keys, max_block_size=64)
-    pair_fields = P.with_pair_key(P.attach_pair_fields(pairs, records))
-    pair_fields.write.mode("overwrite").parquet(out_dir)
-    total = time.time() - t0
-    print(f"keys_persist_s={t_keys:.2f}", flush=True)
-    print(f"blocking_pairs_s={total:.2f}  (bench-faithful)", flush=True)
-    n_over = oversized.count()
-    print(f"oversized={n_over}", flush=True)
-    n_pairs = spark.read.parquet(out_dir).count()
-    print(f"pairs={n_pairs}", flush=True)
-    keys.unpersist()
-    records.unpersist()
+        t0 = time.time()
+        pairs, oversized = B.candidate_pairs(keys, max_block_size=64)
+        pairs = pairs.persist()
+        np_ = pairs.count()
+        t_pairs = time.time() - t0
+
+        t0 = time.time()
+        pf = P.with_pair_key(P.attach_pair_fields(pairs, records))
+        pf.write.mode("overwrite").parquet(out_dir)
+        t_attach = time.time() - t0
+        t_total = time.time() - t_all
+        print(
+            f"rep{rep} bands={bands} perm={perm}: keys={t_keys:.2f}s (n={nk}) "
+            f"pairs={t_pairs:.2f}s (n={np_}) attach+write={t_attach:.2f}s "
+            f"TOTAL={t_total:.2f}s",
+            flush=True,
+        )
+        keys.unpersist()
+        pairs.unpersist()
     spark.stop()
 
 

@@ -129,11 +129,15 @@ def build_pair_fields(spark, n_entities, out_dir):
     # the Python-kernel output once instead of recomputing the Arrow pass
     keys = B.all_blocking_keys(records).persist()
     keys.count()
-    pairs, oversized = B.candidate_pairs(keys, max_block_size=64)
+    handles = []
+    pairs, oversized = B.candidate_pairs(keys, max_block_size=64,
+                                         cache_handles=handles)
     pair_fields = P.with_pair_key(P.attach_pair_fields(pairs, records))
     pair_fields.write.mode("overwrite").parquet(out_dir)
     timings["blocking_pairs_s"] = round(time.time() - t0, 3)
     n_over = oversized.count()
+    for h in handles:
+        h.unpersist()
     keys.unpersist()
     records.unpersist()
     return n_pages, timings, n_over

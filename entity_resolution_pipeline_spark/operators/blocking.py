@@ -148,6 +148,7 @@ def candidate_pairs(
     max_block_size: int = DEFAULT_MAX_BLOCK,
     oversized_strategy: str = "window_cap",
     neighbor_cap: int = 20,
+    cache_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-equi-join within blocks -> canonical distinct (url1 < url2).
 
@@ -183,10 +184,15 @@ def candidate_pairs(
     # ~2x the whole stage's useful work at bench scale. The cached rows
     # are (url, key-hash, count): a fraction of the input record table,
     # MEMORY_AND_DISK, exactly what a 100 TB run would materialize between
-    # the sizing and pair-generation stages.
+    # the sizing and pair-generation stages. The handle is appended to
+    # ``cache_handles`` so the caller can unpersist once the pair set is
+    # materialized (pipeline and bench both do) — cache ownership stays
+    # with whoever runs the action.
     sized = keyed.withColumn(
         "block_size", F.count(F.lit(1)).over(Window.partitionBy("kh"))
     ).persist()
+    if cache_handles is not None:
+        cache_handles.append(sized)
     oversized = (
         sized.where(F.col("block_size") > max_block_size)
         .groupBy("key")

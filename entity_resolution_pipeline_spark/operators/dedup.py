@@ -140,10 +140,11 @@ def ngram_jaccard_pairs(
     # cluster in ONE task. Blocks above ``salt_block`` docs are pre-split
     # by a deterministic doc_id salt (same policy as the ER blocking
     # stage's mega-block cap): per-task sort work is O(block/n_sub log),
-    # cross-salt pairs are dropped — the bounded-recall trade the cap
-    # already makes, and chain-connect + downstream CC still closes
-    # near-identical clusters. doc_id % n_sub (not a hash) keeps the
-    # split exactly DuckDB-replayable.
+    # cross-salt pairs are dropped — a bounded-recall trade: a mega-
+    # cluster resolves to n_sub survivors instead of one (each salt
+    # subgroup still chain-connects internally and CC closes it), the
+    # same policy the neighbor cap itself applies. doc_id % n_sub (not a
+    # hash) keeps the split exactly DuckDB-replayable.
     salt_block = 4 * max_anchor_df
     fb_sizes = fbk.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsz"))
     n_sub = F.greatest(
@@ -256,6 +257,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket equi-join + signature verify.
 
@@ -266,12 +268,16 @@ def minhash_lsh_pairs(
     matching-component fraction, verified on the joined pair.
     """
     rows = num_perm // bands
-    # sigs feed THREE plan branches (band explode + both verify join-backs):
-    # without a persist the Arrow sketch kernel — the single most expensive
-    # step — runs three times per action. The cached sketch is tiny
-    # (num_perm longs per doc, ~1000x smaller than the documents), exactly
-    # the relation a 100 TB run would materialize to its own table.
-    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k).persist()
+    # sigs feed THREE plan branches (band explode + both verify join-backs),
+    # so the Arrow sketch kernel would run three times per action unless
+    # the caller materializes it: pass a persisted ``sigs`` frame (its
+    # lifecycle stays with the caller — this operator never persists
+    # internally, the no-cache-leak contract TestNoPersistLeaks pins).
+    # near_dup_clusters does exactly that; at 100 TB the sketch is the
+    # relation you'd write to its own table (num_perm longs per doc,
+    # ~1000x smaller than the documents).
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"md5(concat(cast(b as string), ':', "
@@ -397,17 +403,33 @@ def near_dup_clusters(
         "simhash": simhash_pairs,
         "ngram": ngram_jaccard_pairs,
     }
-    pairs = fns[method](docs, text_col, **kw)
     from .cluster import assign_clusters
 
-    # CC consumes the edge set several times (size probe + iterative star
-    # joins / driver fast path); persist the near-dup pairs — by
-    # construction a small fraction of the corpus — so the whole pair
-    # pipeline (sketch kernel, band join, distinct, verify) runs once.
+    # Persist lifecycle lives HERE (operators stay cache-stateless, the
+    # TestNoPersistLeaks contract): the minhash sketch feeds three plan
+    # branches and CC consumes the edge set several more times (probe +
+    # union-find collect / star joins), so both are persisted for the
+    # duration of the clustering — then unpersisted before returning,
+    # which is safe because connected_components EAGERLY localCheckpoints
+    # its edge input: the returned frame's lineage no longer references
+    # the pair pipeline at all.
+    to_unpersist = []
+    if method == "minhash":
+        sigs = minhash_signatures(
+            docs, text_col,
+            num_perm=kw.get("num_perm", 32), shingle_k=kw.get("shingle_k", 5),
+        ).persist()
+        to_unpersist.append(sigs)
+        pairs = minhash_lsh_pairs(docs, text_col, sigs=sigs, **kw)
+    else:
+        pairs = fns[method](docs, text_col, **kw)
     pairs = pairs.persist()
+    to_unpersist.append(pairs)
     edges = pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
     nodes = docs.select(F.col("doc_id").alias("node"))
-    cl = assign_clusters(edges, nodes)
+    cl = assign_clusters(edges, nodes)  # eager CC inside
+    for df_ in to_unpersist:
+        df_.unpersist()
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cl.join(sizes, "cluster_id").select(
         F.col("entity_id").alias("doc_id"),

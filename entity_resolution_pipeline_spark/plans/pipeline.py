@@ -166,8 +166,13 @@ class ERPipeline:
             "blocking_keys", force,
         )
 
+        pair_handles: list = []
+
         def build_pairs():
-            pairs, oversized = B.candidate_pairs(keys, max_block_size=cfg.max_block_size)
+            pairs, oversized = B.candidate_pairs(
+                keys, max_block_size=cfg.max_block_size,
+                cache_handles=pair_handles,
+            )
             # persist oversized blocks as a catalog table so a resumed run
             # (pairs stage skipped) still reports them; metrics keeps only a
             # bounded sample — at 100 TB the full list can itself be large.
@@ -176,6 +181,8 @@ class ERPipeline:
 
         keys_fp = self._table_fp(keys, ["url", "key"])
         pairs = self._run_stage("pairs", keys_fp, -1, build_pairs, "candidate_pairs", force)
+        for h in pair_handles:  # both outputs are materialized in catalog now
+            h.unpersist()
         if self.catalog.exists("oversized_blocks"):
             over_df = self.catalog.read("oversized_blocks")
             self.metrics["oversized_blocks_count"] = int(over_df.count())

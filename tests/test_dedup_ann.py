@@ -67,21 +67,36 @@ class TestDedup:
 
     def test_ngram_jaccard_fallback_neighbor_cap_bounds_work(self, spark):
         """Fallback blocks are unbounded by construction — each doc may pair
-        with at most fallback_neighbor_cap forward neighbors."""
+        with at most fallback_neighbor_cap forward neighbors. Blocks within
+        the salt threshold (4 * max_anchor_df) keep exact chain semantics;
+        bigger blocks are pre-split by doc_id salt (bounded per-task sort),
+        each salt subgroup chaining independently."""
+        from collections import Counter
+
         rows = [(i, "same words every time") for i in range(20)]
         df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # un-salted regime: salt_block = 4*5 = 20 >= block size 20
         out = ngram_jaccard_pairs(
-            df, threshold=0.9, max_anchor_df=3, fallback_neighbor_cap=2
+            df, threshold=0.9, max_anchor_df=5, fallback_neighbor_cap=2
         )
         got = [(r["doc_id1"], r["doc_id2"]) for r in out.collect()]
         assert len(got) == 2 * 20 - 3  # B*K - K*(K+1)/2
-        from collections import Counter
-
         fwd = Counter(p[0] for p in got)
         assert max(fwd.values()) <= 2
-        # chain still connects the cluster: every doc appears in some pair
+        # chain connects the whole cluster: every doc appears in some pair
         touched = {x for p in got for x in p}
         assert touched == set(range(20))
+
+        # salted regime: salt_block = 4*3 = 12 < 20 -> n_sub = 2, docs split
+        # by doc_id parity; each subgroup of 10 chains independently
+        out_s = ngram_jaccard_pairs(
+            df, threshold=0.9, max_anchor_df=3, fallback_neighbor_cap=2
+        )
+        got_s = [(r["doc_id1"], r["doc_id2"]) for r in out_s.collect()]
+        assert len(got_s) == 2 * (2 * 10 - 3)
+        assert all((a % 2) == (b % 2) for a, b in got_s)  # no cross-salt pair
+        assert {x for p in got_s for x in p} == set(range(20))
 
     def test_exact_key_is_128_bit(self, spark):
         """Collision-safety contract for the 100 TB tier: the dedup key must

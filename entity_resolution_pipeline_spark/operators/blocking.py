@@ -251,14 +251,80 @@ def candidate_pairs(
     return pairs.distinct(), oversized
 
 
+def name_and_lsh_keys(
+    records: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """The two Python-kernel key families (name + LSH bands) in ONE Arrow
+    pass: record rows serialize to Python once instead of twice, and one
+    kernel stage replaces two. Output rows are value-identical to
+    ``name_keys UNION lsh_keys`` (pytest-pinned); ``host_keys`` stays a
+    pure-JVM projection and unions in afterwards.
+    """
+    import zlib
+
+    import numpy as np
+
+    schema = StructType(
+        [StructField("url", StringType()),
+         StructField("keys", ArrayType(StringType()))]
+    )
+    rpb = num_perm // bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mh = MinHasher(num_perm=num_perm, seed=seed, k=shingle_k, mode="char")
+        crc = zlib.crc32
+        neg = np.int64(-(1 << 63))
+        memo: dict[str, str | None] = {}
+        for pdf in batches:
+            comps = ["" if c is None else c for c in pdf["composite"]]
+            n = len(comps)
+            sigs = mh.signatures_batch(comps)
+            band_ids = np.empty((n, bands), dtype=np.int64)
+            w = rpb * 8
+            for b in range(bands):
+                buf = np.ascontiguousarray(
+                    sigs[:, b * rpb:(b + 1) * rpb].astype("<u8")).tobytes()
+                col = np.fromiter(
+                    (crc(buf[i * w:(i + 1) * w]) for i in range(n)),
+                    dtype=np.int64, count=n,
+                )
+                band_ids[:, b] = (np.int64(b) << np.int64(32) | col) + neg
+            lists = band_ids.tolist()
+            out_keys: list[list[str] | None] = []
+            for i, p in enumerate(pdf["person"]):
+                ks: list[str] = []
+                if p is not None:
+                    k = memo.get(p)
+                    if k is None and p not in memo:
+                        nk = normalize_name(p).lower()
+                        k = ("name|" + nk) if nk else None
+                        memo[p] = k
+                    if k:
+                        ks.append(k)
+                if comps[i]:
+                    ks.extend("lsh|" + str(b) for b in lists[i])
+                out_keys.append(ks or None)
+            yield pd.DataFrame({"url": pdf["url"], "keys": out_keys})
+
+    out = ensure_parallelism(
+        records.select("url", "person", "composite")
+    ).mapInPandas(run, schema=schema)
+    return (
+        out.where(F.col("keys").isNotNull())
+        .select("url", F.explode("keys").alias("key"))
+    )
+
+
 def all_blocking_keys(
     records: DataFrame,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Union of the three key families."""
-    return (
-        name_keys(records)
-        .unionByName(host_keys(records))
-        .unionByName(lsh_keys(records, num_perm=num_perm, bands=bands))
+    """Union of the three key families (name+LSH fused into one kernel)."""
+    return name_and_lsh_keys(records, num_perm=num_perm, bands=bands).unionByName(
+        host_keys(records)
     )

@@ -172,3 +172,27 @@ def test_block_sizes_and_key_union(spark):
     fams = {r["fam"] for r in keys.select(F.split("key", r"\|")[0].alias("fam")).distinct().collect()}
     assert fams == {"name", "host", "lsh"}
     assert block_sizes(keys).where(F.col("block_size") < 1).count() == 0
+
+
+def test_fused_kernel_matches_separate_key_families(spark):
+    """name_and_lsh_keys (one Arrow pass) must emit exactly the rows of
+    name_keys UNION ALL lsh_keys — same urls, same keys, same
+    multiplicities."""
+    from collections import Counter
+
+    from entity_resolution_pipeline_spark.operators.blocking import (
+        name_and_lsh_keys,
+    )
+
+    rec = preprocess_records(web_pages_df(spark, 40))
+    fused = Counter(
+        (r["url"], r["key"])
+        for r in name_and_lsh_keys(rec, num_perm=16, bands=4).collect()
+    )
+    separate = Counter(
+        (r["url"], r["key"])
+        for r in name_keys(rec)
+        .unionByName(lsh_keys(rec, num_perm=16, bands=4))
+        .collect()
+    )
+    assert fused == separate and len(fused) > 0

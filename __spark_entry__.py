@@ -1478,7 +1478,8 @@ def oracle_sql() -> dict[str, str]:
             fbs AS (SELECT bkey, count(*) AS bsz FROM fbk GROUP BY bkey),
             fbsalt AS (
               SELECT fbk.doc_id, fbk.bkey,
-                     fbk.doc_id % greatest(1, cast(ceil(fbs.bsz / 256.0) AS INT)) AS salt
+                     ('0x' || substr(md5(CAST(fbk.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % greatest(1, cast(ceil(fbs.bsz / 256.0) AS INT)) AS salt
               FROM fbk JOIN fbs USING (bkey)),
             fbn AS (SELECT doc_id, bkey, salt,
                            row_number() OVER (PARTITION BY bkey, salt

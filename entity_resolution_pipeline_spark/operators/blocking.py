@@ -184,14 +184,17 @@ def candidate_pairs(
     # ~2x the whole stage's useful work at bench scale. The cached rows
     # are (url, key-hash, count): a fraction of the input record table,
     # MEMORY_AND_DISK, exactly what a 100 TB run would materialize between
-    # the sizing and pair-generation stages. The handle is appended to
-    # ``cache_handles`` so the caller can unpersist once the pair set is
-    # materialized (pipeline and bench both do) — cache ownership stays
-    # with whoever runs the action.
+    # the sizing and pair-generation stages. Cache ownership stays with
+    # whoever runs the action: the persist happens ONLY when the caller
+    # passes ``cache_handles`` to receive the handle and unpersist after
+    # materializing (pipeline and bench both do). With the default None
+    # the operator stays cache-stateless — no session-lifetime leak —
+    # at the cost of the window re-running per consumer.
     sized = keyed.withColumn(
         "block_size", F.count(F.lit(1)).over(Window.partitionBy("kh"))
-    ).persist()
+    )
     if cache_handles is not None:
+        sized = sized.persist()
         cache_handles.append(sized)
     oversized = (
         sized.where(F.col("block_size") > max_block_size)

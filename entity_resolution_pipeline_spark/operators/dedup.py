@@ -143,15 +143,22 @@ def ngram_jaccard_pairs(
     # cross-salt pairs are dropped — a bounded-recall trade: a mega-
     # cluster resolves to n_sub survivors instead of one (each salt
     # subgroup still chain-connects internally and CC closes it), the
-    # same policy the neighbor cap itself applies. doc_id % n_sub (not a
-    # hash) keeps the split exactly DuckDB-replayable.
+    # same policy the neighbor cap itself applies. The salt hashes
+    # md5_hash60(doc_id-as-string) — doc_id may be ANY type (string url
+    # keys included; a numeric modulo would yield NULL salts there and
+    # silently drop every fallback pair) — and the md5-60bit primitive is
+    # the shared one DuckDB computes identically, so the split stays
+    # exactly oracle-replayable.
+    from .util import md5_hash60
+
     salt_block = 4 * max_anchor_df
     fb_sizes = fbk.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsz"))
     n_sub = F.greatest(
         F.lit(1), F.ceil(F.col("bsz") / F.lit(float(salt_block))).cast("int")
     )
     fbs = fbk.join(fb_sizes, "bkey").withColumn(
-        "salt", F.pmod(F.col("doc_id"), n_sub.cast("bigint"))
+        "salt",
+        F.pmod(md5_hash60(F.col("doc_id").cast("string")), n_sub.cast("bigint")),
     )
     fb_block = Window.partitionBy("bkey", "salt").orderBy("doc_id")
     fbn = fbs.withColumn("brn", F.row_number().over(fb_block))

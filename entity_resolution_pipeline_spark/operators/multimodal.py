@@ -19,10 +19,12 @@ libraries exist and otherwise fall back to deterministic fakes:
 - ``sample_video_frames``: tries imageio(+pyav/ffmpeg) the same way; fake
   frames are deterministic equal-stride payload slices.
 
-``decoder`` accepts 'auto' (best available real codec, fake fallback),
-'real' (raise NotImplementedError when no codec), 'fake' (always the stub
-— what the deterministic tests pin). The legacy ``use_fake_decoder`` flag
-maps onto these when explicitly passed. PIL/imageio do not ship in this
+``decoder`` accepts 'auto' (best available real codec, per-row fake
+fallback on undecodable bytes), 'real' (STRICT: NotImplementedError when
+no codec exists, and a per-row ValueError when a row fails to decode —
+real or error, never a silent fake), 'fake' (always the stub — what the
+deterministic tests pin). The legacy ``use_fake_decoder`` flag maps onto
+these when explicitly passed. PIL/imageio do not ship in this
 container, so those branches are import-gated; the purepng branch runs
 for real here and is pytest-pinned end-to-end.
 
@@ -190,13 +192,16 @@ def decode_image_features(
 ) -> DataFrame:
     """binary -> fixed-width feature vector + real-or-fake ``kernel`` tag.
 
-    With PIL present (``decoder='auto'``/'real') the features are the
+    With a real codec (``decoder='auto'``/'real') the features are the
     16-bin grayscale-pixel histogram and width/height are the decoded
-    dimensions; rows whose bytes fail to decode fall back to the fake
-    kernel for that row (tagged ``kernel='fake'``) instead of failing the
-    task. The fake kernel is a deterministic 16-bin byte histogram.
+    dimensions. Rows whose bytes fail to decode: in 'auto', fall back to
+    the fake kernel for that row (tagged ``kernel='fake'``); in 'real',
+    fail the task loudly (ValueError naming the row) — silent degradation
+    to fakes is exactly what 'real' exists to prevent. The fake kernel is
+    a deterministic 16-bin byte histogram.
     """
     mode = _mode(decoder, use_fake_decoder)
+    strict = mode == "real"  # real = decode for real or FAIL, never fake
     _resolve(mode, _image_backend(), "image decoding")  # fast driver-side fail
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,7 +215,7 @@ def decode_image_features(
             from ..functions import purepng
         for pdf in batches:
             feats, ws, hs, ks = [], [], [], []
-            for b in pdf[bin_col]:
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 if kernel == "pil" and b is not None and len(b) > 0:
                     try:
                         img = Image.open(io.BytesIO(bytes(b))).convert("L")
@@ -235,6 +240,12 @@ def decode_image_features(
                         continue
                     except Exception:
                         pass  # non-PNG / unsupported: per-row fake fallback
+                if strict:
+                    raise ValueError(
+                        f"decoder='real': row id={rid!r} did not decode with "
+                        f"the '{kernel}' codec (use decoder='auto' for a "
+                        f"per-row fake fallback)"
+                    )
                 f, w, h = _fake_image_row(b)
                 feats.append(f)
                 ws.append(w)
@@ -278,6 +289,7 @@ def resize_images(
     """
     out_len = target_w * target_h
     mode = _mode(decoder, use_fake_decoder)
+    strict = mode == "real"
     _resolve(mode, _image_backend(), "image resizing")  # fast driver-side fail
 
     def _fake(b) -> bytes:
@@ -297,7 +309,7 @@ def resize_images(
             from ..functions import purepng
         for pdf in batches:
             payloads, ks = [], []
-            for b in pdf[bin_col]:
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 if kernel == "pil" and b is not None and len(b) > 0:
                     try:
                         img = Image.open(io.BytesIO(bytes(b))).convert("L")
@@ -317,6 +329,12 @@ def resize_images(
                         continue
                     except Exception:
                         pass
+                if strict:
+                    raise ValueError(
+                        f"decoder='real': row id={rid!r} did not decode with "
+                        f"the '{kernel}' codec (use decoder='auto' for a "
+                        f"per-row fake fallback)"
+                    )
                 payloads.append(_fake(b))
                 ks.append("fake")
             yield pd.DataFrame(
@@ -361,6 +379,7 @@ def sample_video_frames(
     fails real decoding falls back to fake strides for that row.
     """
     mode = _mode(decoder, use_fake_decoder)
+    strict = mode == "real"
     _resolve(mode, _video_backend(), "frame sampling")  # fast driver-side fail
 
     def _fake_rows(rid, b, ids, idxs, frames, ks):

@@ -136,6 +136,10 @@ def _stat_uri(df: DataFrame, uri: str) -> tuple[int, int]:
     no-scan resume probe works exactly where it matters most: object
     stores, where a content re-scan of the input would bill 100 TB of GETs.
     Raises on anything un-stat-able; the caller degrades to None.
+
+    Fallback only: ``_stat_uris`` below batches remote stats by parent
+    directory (one listStatus per directory), so a 100k-file dataset costs
+    #directories round-trips, not #files.
     """
     from urllib.parse import unquote, urlparse
 
@@ -149,6 +153,45 @@ def _stat_uri(df: DataFrame, uri: str) -> tuple[int, int]:
     p = jvm.org.apache.hadoop.fs.Path(uri)
     st = p.getFileSystem(conf).getFileStatus(p)
     return int(st.getLen()), int(st.getModificationTime())
+
+
+def _stat_uris(df: DataFrame, uris: list[str]) -> dict[str, tuple[int, int]]:
+    """Batch (size, mtime) for many URIs: local paths via os.stat; remote
+    URIs via ONE Hadoop ``listStatus`` per parent directory (the bulk LIST
+    the scan planner itself issues) instead of a sequential getFileStatus
+    round-trip per file — at 100k objects that is the difference between
+    seconds and ~half an hour of driver RPCs per resume probe. Raises if
+    any URI cannot be statted (caller degrades to the content path).
+    """
+    from urllib.parse import unquote, urlparse
+
+    out: dict[str, tuple[int, int]] = {}
+    remote_by_dir: dict[str, list[str]] = {}
+    for uri in uris:
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            st = os.stat(unquote(parsed.path))
+            out[uri] = (st.st_size, st.st_mtime_ns)
+        else:
+            remote_by_dir.setdefault(uri.rsplit("/", 1)[0], []).append(uri)
+    if remote_by_dir:
+        spark = df.sparkSession
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for d, dir_uris in remote_by_dir.items():
+            dp = jvm.org.apache.hadoop.fs.Path(d)
+            fs = dp.getFileSystem(conf)
+            listing = {
+                str(st.getPath().toUri()): (int(st.getLen()),
+                                            int(st.getModificationTime()))
+                for st in fs.listStatus(dp)
+            }
+            for uri in dir_uris:
+                if uri in listing:
+                    out[uri] = listing[uri]
+                else:  # renamed between planning and probe, or odd URI form
+                    out[uri] = _stat_uri(df, uri)
+    return out
 
 
 def fingerprint_files(df: DataFrame, stat_fn=None) -> str | None:
@@ -169,11 +212,11 @@ def fingerprint_files(df: DataFrame, stat_fn=None) -> str | None:
     sessions. Returns None when the plan has no file source (in-memory
     DF) or a file is not stat-able at all — callers then fall back to the
     content fingerprint. ``stat_fn(df, uri) -> (size, mtime)`` is
-    injectable for tests.
+    injectable for tests; without it, stats batch one listStatus per
+    remote parent directory (``_stat_uris``).
     """
     import hashlib
 
-    stat_fn = stat_fn or _stat_uri
     files = df.inputFiles()
     if not files:
         return None
@@ -183,11 +226,16 @@ def fingerprint_files(df: DataFrame, stat_fn=None) -> str | None:
     except Exception:
         return None
     h.update(plan.encode("utf-8", "replace"))
-    for uri in sorted(files):
-        try:
-            size, mtime = stat_fn(df, uri)
-        except Exception:
-            return None
+    ordered = sorted(files)
+    try:
+        if stat_fn is not None:
+            stats = {uri: stat_fn(df, uri) for uri in ordered}
+        else:
+            stats = _stat_uris(df, ordered)
+    except Exception:
+        return None
+    for uri in ordered:
+        size, mtime = stats[uri]
         h.update(f"{uri}|{size}|{mtime}\n".encode())
     return f"meta:{len(files)}:{h.hexdigest()}"
 

@@ -89,14 +89,44 @@ class TestDedup:
         assert touched == set(range(20))
 
         # salted regime: salt_block = 4*3 = 12 < 20 -> n_sub = 2, docs split
-        # by doc_id parity; each subgroup of 10 chains independently
+        # by md5_hash60(doc_id) % 2 (hash-based: works for string ids too);
+        # each salt subgroup chains independently, no cross-salt pairs
+        import hashlib
+
+        def _salt(i, n=2):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % n
+
         out_s = ngram_jaccard_pairs(
             df, threshold=0.9, max_anchor_df=3, fallback_neighbor_cap=2
         )
         got_s = [(r["doc_id1"], r["doc_id2"]) for r in out_s.collect()]
-        assert len(got_s) == 2 * (2 * 10 - 3)
-        assert all((a % 2) == (b % 2) for a, b in got_s)  # no cross-salt pair
+        groups = Counter(_salt(i) for i in range(20))
+        expect = sum(2 * g - 3 for g in groups.values() if g >= 2)
+        assert len(got_s) == expect
+        assert all(_salt(a) == _salt(b) for a, b in got_s)  # no cross-salt pair
         assert {x for p in got_s for x in p} == set(range(20))
+
+    def test_ngram_jaccard_fallback_salting_string_ids(self, spark):
+        """The salt must be hash-based, not numeric modulo: string doc_ids
+        (url-keyed corpora) through an oversized fallback block still emit
+        capped pairs — a numeric salt would NULL out and silently drop
+        every fallback candidate."""
+        rows = [(f"url{i:03d}", "same words every time") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = ngram_jaccard_pairs(
+            df, threshold=0.9, max_anchor_df=3, fallback_neighbor_cap=2
+        ).collect()
+        assert len(out) > 0
+        import hashlib
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for i in range(20):
+            s = f"url{i:03d}"
+            groups[int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2].add(s)
+        expect_touched = set().union(*(g for g in groups.values() if len(g) >= 2))
+        touched = {x for r in out for x in (r["doc_id1"], r["doc_id2"])}
+        assert touched == expect_touched
 
     def test_exact_key_is_128_bit(self, spark):
         """Collision-safety contract for the 100 TB tier: the dedup key must
@@ -585,8 +615,10 @@ class TestMultimodal:
         )
         rows = decode_image_features(df, decoder="auto").collect()
         assert rows[0]["kernel"] == "fake"  # invalid PNG body: row fallback
-        rows_real = decode_image_features(df, decoder="real").collect()
-        assert rows_real[0]["kernel"] == "fake"
+        # 'real' = decode for real or FAIL: the garbage row must error the
+        # job loudly, never silently degrade to the fake kernel
+        with _pytest.raises(Exception, match="decoder='real'"):
+            decode_image_features(df, decoder="real").collect()
         assert _video_backend() is None
         with _pytest.raises(NotImplementedError):
             sample_video_frames(df, decoder="real").collect()

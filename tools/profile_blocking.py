@@ -1,7 +1,8 @@
 """Profile the blocking+pairs stage (bench.py's blocking_pairs_s) split by
 sub-stage, at the bench's sf0.1-equivalent synthetic corpus (4000 entities).
 
-Usage: python tools/profile_blocking.py [n_entities] [--bands B --perm P]
+Usage: PB_BANDS=8 PB_PERM=32 python tools/profile_blocking.py [n_entities]
+(band/perm config via env vars only; defaults = the package defaults)
 """
 from __future__ import annotations
 
@@ -15,8 +16,13 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    bands = int(os.environ.get("PB_BANDS", "16"))
-    perm = int(os.environ.get("PB_PERM", "64"))
+    from entity_resolution_pipeline_spark.operators.blocking import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_PERM,
+    )
+
+    bands = int(os.environ.get("PB_BANDS", str(DEFAULT_BANDS)))
+    perm = int(os.environ.get("PB_PERM", str(DEFAULT_NUM_PERM)))
     from pyspark.sql import SparkSession
 
     spark = (

@@ -92,3 +92,49 @@ def test_score_arrow_is_single_pass_no_shuffle(spark):
     plan = _plan(P.score(df, model, strategy="arrow"), mode="simple")
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_fused_blocking_keys_single_python_stage(spark):
+    """all_blocking_keys must run exactly ONE Python (Arrow) evaluation for
+    the name+LSH families — the fused kernel — with host keys staying
+    JVM-side; a refactor that splits them back into two kernel passes
+    doubles the record serialization at 100 TB."""
+    from entity_resolution_pipeline_spark.operators.blocking import (
+        all_blocking_keys,
+    )
+
+    records = spark.createDataFrame(
+        [(f"http://h{i}.com/p", f"Smith, John {i}", f"john smith {i} text")
+         for i in range(20)],
+        "url string, person string, composite string",
+    )
+    plan = _plan(all_blocking_keys(records), mode="simple")
+    n_python = plan.count("MapInPandas")
+    assert n_python == 1, plan
+
+
+def test_candidate_pairs_reuses_sized_cache(spark):
+    """With caller-owned caching, the self-join sides and the hot branch
+    must read the SAME InMemoryRelation of size-annotated key rows — not
+    re-run the count window per consumer."""
+    from entity_resolution_pipeline_spark.operators.blocking import (
+        candidate_pairs,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"u{i}", "k1") for i in range(5)] + [(f"u{i}", f"s{i}") for i in range(5)],
+        "url string, key string",
+    )
+    handles = []
+    pairs, oversized = candidate_pairs(keys, max_block_size=64,
+                                       cache_handles=handles)
+    plan = _plan(pairs, mode="simple")
+    assert "InMemoryTableScan" in plan, plan
+    # stateless default: once the caller releases its handles, a fresh
+    # call must NOT leave (or pick up) any cached relation — Spark's
+    # CacheManager would otherwise substitute a still-registered
+    # fragment into the logically-identical new plan
+    for h in handles:
+        h.unpersist()
+    pairs2, _ = candidate_pairs(keys, max_block_size=64)
+    assert "InMemoryTableScan" not in _plan(pairs2, mode="simple")

@@ -469,3 +469,20 @@ def test_impute_enrichment(pipeline_run):
         imp = pipe.catalog.read("imputed_provision")
         assert {"url", "imputed_value", "donor_count", "mean_sim"} <= set(imp.columns)
         assert imp.where("imputed_value IS NULL").count() == 0
+
+
+def test_stat_uris_bulk_local(tmp_path):
+    """_stat_uris: local file:// and bare paths stat without any Spark/JVM
+    involvement (df is never touched), matching os.stat exactly."""
+    import os as _os
+
+    from entity_resolution_pipeline_spark.sources.catalog import _stat_uris
+
+    p1 = tmp_path / "a.parquet"
+    p2 = tmp_path / "b.parquet"
+    p1.write_bytes(b"x" * 10)
+    p2.write_bytes(b"y" * 20)
+    uris = [f"file://{p1}", str(p2)]
+    out = _stat_uris(None, uris)
+    assert out[uris[0]] == (10, _os.stat(p1).st_mtime_ns)
+    assert out[uris[1]] == (20, _os.stat(p2).st_mtime_ns)

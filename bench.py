@@ -104,7 +104,20 @@ def run_queries(spark, sf_dir):
         _noop(qs[name](spark, sf_dir))
         out[name] = round(time.time() - t0, 3)
         _log(f"query {name}: {out[name]}s")
-    return out
+    # heavy queries get a second rep, min reported with both walls kept:
+    # a single co-tenant burst (minutes-long on this box) otherwise writes
+    # a 2x-inflated wall into the round's one driver-recorded bench
+    rerun = {}
+    slow = sorted((n for n, t in out.items() if t > 3.0),
+                  key=lambda n: -out[n])[:4]  # bounded: keep total bench time
+    for name in slow:
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        t2 = round(time.time() - t0, 3)
+        rerun[name] = [out[name], t2]
+        out[name] = min(out[name], t2)
+        _log(f"query {name} rep2: {t2}s -> min {out[name]}s")
+    return out, rerun
 
 
 def build_pair_fields(spark, n_entities, out_dir):
@@ -359,7 +372,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     t_all = time.time()
-    queries = run_queries(spark, sf_dir)
+    queries, queries_rerun = run_queries(spark, sf_dir)
     _log(f"queries phase: {time.time()-t_all:.1f}s")
 
     # --- ER scoring throughput (headline) ---
@@ -505,7 +518,9 @@ def main():
         }
         # wall-clock budget: under a sustained co-tenant storm the retry loop
         # must degrade to best-effort rather than blow the bench's timeout
-        deadline = time.time() + float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "360"))
+        # 300 s (was 360): the round-4 query-rerun + blocking min-of-2 additions
+        # must fit the whole bench inside the driver's ~10-minute budget
+        deadline = time.time() + float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "300"))
         walls = {2: [], 8: []}        # accepted
         all_reps = {2: [], 8: []}     # every rep: (wall, steal_frac, ok)
 
@@ -604,6 +619,7 @@ def main():
         "value": round(headline, 1),
         "unit": "sec",
         "queries": queries,
+        "queries_rerun_walls": queries_rerun,
         "sf": sf_dir,
         "er": er,
         "scaling": scaling,
@@ -633,6 +649,7 @@ def main():
         compact["scaling"]["detail"] = "BENCH/last_run_full.json"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # never let the driver tail-truncate the line
+        compact.pop("queries_rerun_walls", None)  # full copy stays in the file
         compact["queries"] = {
             k: v for k, v in sorted(queries.items(), key=lambda kv: -kv[1])[:15]
         }

@@ -84,6 +84,32 @@ class Catalog:
                 w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
+    def write_bucketed_table(self, df: DataFrame, name: str, n_buckets: int,
+                             bucket_col: str,
+                             sort_cols: list[str] | None = None) -> None:
+        """TRUE bucketed layout (``bucketBy`` + ``saveAsTable``) — the
+        Iceberg bucket-transform analogue this parquet-dir catalog can
+        actually express. Two tables bucketed the same way (same column
+        semantics, same bucket count) join on the bucket column WITHOUT
+        either side shuffling: Spark plans a SortMergeJoin with no
+        Exchange (and with ``sort_cols`` matching the join key, no Sort
+        either) — the co-located join the north rule's "bucketed tables"
+        exist for. Data files land under the catalog's own warehouse dir
+        (external-table path); the table is registered in the session
+        catalog, read it back with ``read_table``.
+        """
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.option("path", self.path(name)).format("parquet").saveAsTable(name)
+
+    def read_table(self, name: str) -> DataFrame:
+        """Read a table registered by ``write_bucketed_table`` (bucket
+        metadata comes from the session catalog — a plain parquet read of
+        the same path would lose it)."""
+        return self.spark.table(name)
+
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 

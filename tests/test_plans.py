@@ -138,3 +138,47 @@ def test_candidate_pairs_reuses_sized_cache(spark):
         h.unpersist()
     pairs2, _ = candidate_pairs(keys, max_block_size=64)
     assert "InMemoryTableScan" not in _plan(pairs2, mode="simple")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Two tables written with the SAME bucketing (catalog
+    write_bucketed_table) must join on the bucket column with ZERO
+    Exchange in the plan — the co-located join the north rule's bucketed
+    tables exist for. A plain parquet re-read of the same files (bucket
+    metadata lost) shuffles BOTH sides: that contrast is the proof the
+    bucket layout, not the data size, removed the shuffle."""
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    cat = Catalog(spark, wh)
+    pairs = spark.range(0, 2000).selectExpr(
+        "concat('pk', id) AS pair_key", "concat('u', id) AS url1",
+        "concat('u', id + 1) AS url2")
+    scored = spark.range(0, 2000).selectExpr(
+        "concat('pk', id) AS pair_key", "rand(42) AS confidence")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the test tables are tiny; disable auto-broadcast so the planner
+        # actually exercises the bucketed SortMergeJoin path (at real
+        # scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cat.write_bucketed_table(pairs, "bt_pairs", 8, "pair_key",
+                                 sort_cols=["pair_key"])
+        cat.write_bucketed_table(scored, "bt_scored", 8, "pair_key",
+                                 sort_cols=["pair_key"])
+        joined = cat.read_table("bt_pairs").join(
+            cat.read_table("bt_scored"), "pair_key")
+        plan = _plan(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 2000
+
+        # contrast: identical files read WITHOUT bucket metadata -> both
+        # sides shuffle
+        raw = spark.read.parquet(f"{wh}/bt_pairs").join(
+            spark.read.parquet(f"{wh}/bt_scored"), "pair_key")
+        assert "Exchange" in _plan(raw, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_pairs")
+        spark.sql("DROP TABLE IF EXISTS bt_scored")

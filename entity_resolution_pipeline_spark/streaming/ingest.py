@@ -246,3 +246,149 @@ def run_catchup(spark: SparkSession, src_dir: str, out_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def _minhash_band_rows_stream(docs: DataFrame, text_col: str, id_col: str,
+                              ts_col: str, num_perm: int, bands: int,
+                              shingle_k: int, max_chars: int = 2048) -> DataFrame:
+    """(band, doc_id, ts, sig) rows for a (possibly streaming) doc frame.
+
+    Pure-Python mirror of operators/dedup.minhash_signatures + the batch
+    band hash (md5 of "b:sig-csv"), value-identical by construction (the
+    batch-equivalence test pins it): normalization trim+collapse+lower,
+    first ``max_chars`` chars, distinct char-``shingle_k`` shingles,
+    md5-28bit base hash, affine perms mod 2^31-1. mapInPandas (not the
+    batch operator) because streaming frames allow no rdd access and no
+    ensure_parallelism repartition."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import _MERSENNE31, minhash_perm_coeffs
+
+    a_l, b_l = minhash_perm_coeffs(num_perm)
+    a = np.asarray(a_l, dtype=np.uint64)[:, None]
+    b = np.asarray(b_l, dtype=np.uint64)[:, None]
+    m = np.uint64(_MERSENNE31)
+    rows_per_band = num_perm // bands
+    ws = re.compile(r"\s+")
+
+    def run(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            out_band, out_id, out_ts, out_sig = [], [], [], []
+            for doc_id, ts, text in zip(pdf[id_col], pdf[ts_col], pdf[text_col]):
+                nt = ws.sub(" ", text or "").strip().lower()[:max_chars]
+                if not nt:
+                    continue
+                k = shingle_k
+                sh = {nt} if len(nt) <= k else {nt[i:i + k] for i in range(len(nt) - k + 1)}
+                h = np.fromiter(
+                    (int(md5(s.encode("utf-8")).hexdigest()[:7], 16) for s in sh),
+                    dtype=np.uint64, count=len(sh),
+                )[None, :]
+                sig = ((a * h + b) % m).min(axis=1).astype(np.int64).tolist()
+                for bi in range(bands):
+                    chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+                    band = md5(
+                        f"{bi}:{','.join(str(x) for x in chunk)}".encode()
+                    ).hexdigest()
+                    out_band.append(band)
+                    out_id.append(doc_id)
+                    out_ts.append(ts)
+                    out_sig.append(sig)
+            yield pd.DataFrame({
+                "band": out_band, "doc_id": out_id, "ts": out_ts, "sig": out_sig,
+            })
+
+    return docs.select(id_col, ts_col, text_col).mapInPandas(
+        run, schema="band string, doc_id long, ts timestamp, sig array<bigint>"
+    )
+
+
+def near_dup_pairs_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_state: int = 1024,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup pair alerts — the streaming twin of
+    operators/dedup.minhash_lsh_pairs (pytest-pinned batch-equivalent).
+
+    Each arriving document is sketched once (same md5-affine math as the
+    batch operator), exploded to its ``bands`` LSH bucket rows, and run
+    through a per-bucket stateful kernel (applyInPandasWithState): the
+    bucket's state holds the last ``max_bucket_state`` (doc_id,
+    signature) entries (FIFO — explicit bound on state bytes per key);
+    every new document is verified component-wise against the resident
+    sketches and emits (doc_id1, doc_id2, est_jaccard, ts) for matches at
+    or above ``threshold``. A pair sharing several buckets is emitted per
+    bucket — downstream, dedupe within the watermark horizon
+    (``dropDuplicatesWithinWatermark(["doc_id1","doc_id2"])``) exactly
+    like the batch path's distinct.
+
+    State profile at scale: bytes per bucket <= max_bucket_state *
+    (8 + 8*num_perm); buckets shard across executors by the band hash —
+    the same equi-partitioning the batch bucket-join shuffles on. Works
+    on batch frames too (same groupBy path via applyInPandas semantics is
+    not available — for batch use minhash_lsh_pairs; this operator
+    asserts a streaming input).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    band_rows = _minhash_band_rows_stream(
+        docs, text_col, id_col, ts_col, num_perm, bands, shingle_k
+    )
+    if docs.isStreaming:
+        band_rows = band_rows.withWatermark("ts", watermark)
+
+    out_schema = "doc_id1 long, doc_id2 long, est_jaccard double, ts timestamp"
+    state_schema = "ids array<bigint>, flat array<bigint>"
+    n_perm = num_perm
+
+    def fn(key, pdfs, state):
+        ids, flat = (state.get if state.exists else ([], []))
+        ids = list(ids)
+        flat = list(flat)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["doc_id"], pdf["ts"], pdf["sig"]))
+        rows.sort(key=lambda r: r[0])  # deterministic within a batch
+        o1, o2, oe, ot = [], [], [], []
+        for doc_id, ts, sig in rows:
+            doc_id = int(doc_id)
+            sig = [int(x) for x in sig]
+            for j, other in enumerate(ids):
+                if other == doc_id:
+                    continue
+                osig = flat[j * n_perm:(j + 1) * n_perm]
+                matches = sum(1 for x, y in zip(sig, osig) if x == y)
+                est = matches / n_perm
+                if est >= threshold:
+                    o1.append(min(doc_id, other))
+                    o2.append(max(doc_id, other))
+                    oe.append(est)
+                    ot.append(ts)
+            if doc_id not in ids:
+                ids.append(doc_id)
+                flat.extend(sig)
+                if len(ids) > max_bucket_state:  # FIFO bound
+                    ids = ids[1:]
+                    flat = flat[n_perm:]
+        state.update((ids, flat))
+        yield pd.DataFrame(
+            {"doc_id1": o1, "doc_id2": o2, "est_jaccard": oe, "ts": ot}
+        )
+
+    return band_rows.groupBy("band").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

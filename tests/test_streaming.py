@@ -429,3 +429,90 @@ def test_asof_join_bucketed_megakey_multitask(spark):
     a = {tuple(r) for r in asof_join(left, right, right_cols=["value"]).collect()}
     b = {tuple(r) for r in out.collect()}
     assert a == b and len(a) == 2000
+
+
+def test_near_dup_pairs_stream_matches_batch(spark, tmp_warehouse):
+    """Streaming MinHash-LSH near-dup alerts == the batch operator's pair
+    set (same sketch math, same banding, same threshold) after an
+    availableNow catch-up — state persists across micro-batches, so the
+    equivalence holds however the files split into batches."""
+    import os as _os
+
+    from entity_resolution_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from entity_resolution_pipeline_spark.streaming.ingest import (
+        near_dup_pairs_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("ts", F.lit("2026-01-01 09:00:00").cast("timestamp"))
+    )
+    src = _os.path.join(tmp_warehouse, "ndsrc")
+    out = _os.path.join(tmp_warehouse, "ndout")
+    ckpt = _os.path.join(tmp_warehouse, "ndckpt")
+    # two files -> the availableNow run may split into micro-batches
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        near_dup_pairs_stream(stream, threshold=0.5, num_perm=32, bands=8)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got_rows = spark.read.parquet(out).collect()
+    got = {(r["doc_id1"], r["doc_id2"], round(r["est_jaccard"], 6))
+           for r in got_rows}
+    expect = {
+        (r["doc_id1"], r["doc_id2"], round(r["est_jaccard"], 6))
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, num_perm=32, bands=8
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_near_dup_stream_fifo_state_bound(spark, tmp_warehouse):
+    """max_bucket_state bounds per-bucket state: with a cap of 2 and five
+    identical docs arriving in doc_id order, each doc can only pair with
+    the <=2 most recent residents — 2n-3 pairs instead of n(n-1)/2 (the
+    explicit state-bytes bound a firehose needs)."""
+    import os as _os
+
+    from entity_resolution_pipeline_spark.streaming.ingest import (
+        near_dup_pairs_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "exactly the same body of text for everyone", "2026-01-01 09:00:00")
+         for i in range(5)],
+        "doc_id long, text string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    src = _os.path.join(tmp_warehouse, "fsrc")
+    out = _os.path.join(tmp_warehouse, "fout")
+    ckpt = _os.path.join(tmp_warehouse, "fckpt")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        near_dup_pairs_stream(stream, threshold=0.9, max_bucket_state=2)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    pairs = {(r["doc_id1"], r["doc_id2"])
+             for r in spark.read.parquet(out).collect()}
+    # doc i pairs with i-1 and i-2 only (per bucket; identical docs share
+    # every bucket, the pair set is the union = still the chain)
+    expect = {(i - 1, i) for i in range(1, 5)} | {(i - 2, i) for i in range(2, 5)}
+    assert pairs == expect

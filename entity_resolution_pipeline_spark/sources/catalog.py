@@ -113,6 +113,36 @@ class Catalog:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def compact(self, name: str, target_file_mb: int = 256) -> int:
+        """Rewrite a table into ~target-sized files; returns the new file
+        count. The Iceberg ``rewrite_data_files`` analogue: a streaming
+        sink or micro-batch appender leaves thousands of KB-scale files
+        whose per-file open/footer cost eventually dominates scans (the
+        classic small-files problem at 100 TB). Sizing uses the table's
+        actual on-disk bytes; the rewrite is crash-safe via the same
+        staging-then-rename protocol as merge_upsert (a killed compact
+        leaves either the old or the new table, never a mix).
+        """
+        p = self.path(name)
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        df = self.read(name).coalesce(n_files)
+        staging, backup = name + "__staging", name + "__backup"
+        self.drop(staging)
+        self.write(df, staging)
+        self.drop(backup)
+        os.rename(p, self.path(backup))
+        os.rename(self.path(staging), p)
+        self.drop(backup)
+        return sum(
+            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
     def drop(self, name: str) -> None:
         import shutil
 

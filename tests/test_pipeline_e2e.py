@@ -486,3 +486,52 @@ def test_stat_uris_bulk_local(tmp_path):
     out = _stat_uris(None, uris)
     assert out[uris[0]] == (10, _os.stat(p1).st_mtime_ns)
     assert out[uris[1]] == (20, _os.stat(p2).st_mtime_ns)
+
+
+def test_catalog_compact_small_files(spark, tmp_path_factory):
+    """compact() rewrites a fragmented table into ~target-sized files:
+    file count collapses, rows/values identical, crash-safe staging (no
+    leftover __staging/__backup dirs)."""
+    import os as _os
+
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path_factory.mktemp("compact_wh"))
+    cat = Catalog(spark, wh)
+    # 12 appends x 4 partitions each -> dozens of tiny files
+    for i in range(12):
+        cat.append(spark.range(i * 100, (i + 1) * 100).repartition(4), "frag")
+
+    def count_files(p):
+        return sum(1 for _, _, fs in _os.walk(p) for f in fs
+                   if f.endswith(".parquet"))
+
+    before_files = count_files(cat.path("frag"))
+    before_rows = sorted(r["id"] for r in cat.read("frag").collect())
+    n_after = cat.compact("frag", target_file_mb=256)
+    assert before_files >= 40 and n_after <= 2
+    assert n_after == count_files(cat.path("frag"))
+    assert sorted(r["id"] for r in cat.read("frag").collect()) == before_rows
+    assert not _os.path.isdir(cat.path("frag__staging"))
+    assert not _os.path.isdir(cat.path("frag__backup"))
+
+
+def test_catalog_partitioned_write_prunes_scan(spark, tmp_path_factory):
+    """partition_by layout must turn an equality filter into partition
+    pruning at the scan (PartitionFilters in the plan, not a post-scan
+    filter over every file) — the layout lever that lets a 100 TB table
+    answer a single-source query by touching one directory."""
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path_factory.mktemp("part_wh"))
+    cat = Catalog(spark, wh)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cat.write(docs, "docs_by_source", partition_by=["source"])
+    one = cat.read("docs_by_source").where(F.col("source") == "src3")
+    jvm = spark.sparkContext._jvm
+    plan = one._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "source" in pf_line, pf_line
+    assert one.count() > 0

@@ -72,3 +72,44 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 20) -> dict:
+    """Key-skew diagnosis for a join/groupBy key: one aggregation pass ->
+    a small driver dict. The operational tool behind the north rule's
+    "skew handled explicitly": run it BEFORE choosing a join strategy to
+    see whether the hot key needs salting / AQE skew-join / a cap.
+
+    Returns ``{"n_rows", "n_keys", "top": [(key..., count), ...],
+    "p50", "p90", "p99", "max", "top1_frac", "skew_ratio"}`` where
+    skew_ratio = max key count / mean key count (1.0 = perfectly even)
+    and top1_frac = share of ALL rows held by the hottest key. Exact
+    counts (one shuffle on the key) + approx percentiles; the collect is
+    bounded at ``top_n`` rows plus one stats row.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("mx"),
+        F.expr("approx_percentile(cnt, array(0.5, 0.9, 0.99))").alias("pct"),
+    ).collect()[0]
+    top = [
+        (*[r[c] for c in key_cols], int(r["cnt"]))
+        for r in counts.orderBy(F.desc("cnt"), *key_cols).limit(top_n).collect()
+    ]
+    n_keys = int(stats["n_keys"] or 0)
+    n_rows = int(stats["n_rows"] or 0)
+    mx = int(stats["mx"] or 0)
+    mean = n_rows / n_keys if n_keys else 0.0
+    return {
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "top": top,
+        "p50": float(stats["pct"][0]) if stats["pct"] else None,
+        "p90": float(stats["pct"][1]) if stats["pct"] else None,
+        "p99": float(stats["pct"][2]) if stats["pct"] else None,
+        "max": mx,
+        "top1_frac": (mx / n_rows) if n_rows else 0.0,
+        "skew_ratio": (mx / mean) if mean else 0.0,
+    }

@@ -196,3 +196,22 @@ def test_fused_kernel_matches_separate_key_families(spark):
         .collect()
     )
     assert fused == separate and len(fused) > 0
+
+
+def test_skew_report_flags_hot_key(spark):
+    """skew_report: exact counts, hottest keys first, skew_ratio >> 1 on a
+    deliberately hot key and == 1.0 on perfectly even keys."""
+    from entity_resolution_pipeline_spark.operators.util import skew_report
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string")
+    rep = skew_report(df, ["key"], top_n=3)
+    assert rep["n_rows"] == 100 and rep["n_keys"] == 11
+    assert rep["top"][0] == ("hot", 90)
+    assert rep["max"] == 90 and abs(rep["top1_frac"] - 0.9) < 1e-9
+    assert rep["skew_ratio"] > 9
+    even = skew_report(
+        spark.createDataFrame([(f"k{i}",) for i in range(16)], "key string"),
+        ["key"],
+    )
+    assert even["skew_ratio"] == 1.0 and even["max"] == 1

@@ -227,3 +227,42 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_diagnostics(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension + norm statistics over an embedding column — the
+    distributed analogue of the reference's driver-side vector inspection
+    scripts (/root/reference/analyze_vectors.py:36-49 shape/mean/min/max/
+    std, npy_diagnostics.py), which np.load a whole .npy into one
+    process; here one posexplode + aggregate covers a 100 TB table.
+
+    Output: one row per dimension ``(dim, n, mean, std, min, max)`` plus
+    a ``dim = -1`` row describing the L2-NORM distribution (its ``n`` is
+    the vector count; NULL/empty vectors are excluded and reported via
+    ``n`` deltas against the table count). Ordered by dim.
+    """
+    d = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(id_col, F.posexplode(vec_col).alias("dim", "v"))
+    per_dim = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("mean"),
+        F.stddev_pop("v").alias("std"),
+        F.min("v").alias("min"),
+        F.max("v").alias("max"),
+    )
+    norms = (
+        d.groupBy(id_col)
+        .agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+        .agg(
+            F.lit(-1).alias("dim"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("nrm").alias("mean"),
+            F.stddev_pop("nrm").alias("std"),
+            F.min("nrm").alias("min"),
+            F.max("nrm").alias("max"),
+        )
+    )
+    return per_dim.unionByName(norms).orderBy("dim")

@@ -767,3 +767,36 @@ class TestMultimodal:
         got = sorted((r["id"], r["frame_idx"], bytes(r["frame"])) for r in out)
         assert [g[:2] for g in got] == [(0, 0), (0, 1), (0, 2), (0, 3)]
         assert b"".join(g[2] for g in got) == payload
+
+
+class TestEmbeddingDiagnostics:
+    def test_matches_numpy(self, spark):
+        """Distributed per-dim/norm stats == numpy's on the same matrix
+        (the reference's analyze_vectors semantics, minus the driver-side
+        np.load)."""
+        import numpy as np
+
+        from entity_resolution_pipeline_spark.operators.ann import (
+            embedding_diagnostics,
+        )
+
+        rng = np.random.RandomState(3)
+        mat = rng.randn(40, 6).astype(np.float64)
+        rows = [(i, mat[i].tolist()) for i in range(40)]
+        rows.append((40, None))      # NULL vector: excluded
+        rows.append((41, []))        # empty vector: excluded
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["dim"]: r for r in embedding_diagnostics(emb).collect()}
+        assert set(out) == {-1, 0, 1, 2, 3, 4, 5}
+        for dim in range(6):
+            col = mat[:, dim]
+            r = out[dim]
+            assert r["n"] == 40
+            assert abs(r["mean"] - col.mean()) < 1e-9
+            assert abs(r["std"] - col.std()) < 1e-9
+            assert r["min"] == col.min() and r["max"] == col.max()
+        nrm = np.linalg.norm(mat, axis=1)
+        rn = out[-1]
+        assert rn["n"] == 40
+        assert abs(rn["mean"] - nrm.mean()) < 1e-9
+        assert abs(rn["std"] - nrm.std()) < 1e-9

@@ -4,16 +4,18 @@ Replaces the reference's Weaviate HNSW serving (S5/J1/W1,
 /root/reference/src/indexing.py, /root/reference/src/batch_querying.py) with
 two DataFrame plans over ``(id, array<float>)``:
 
-- brute_force_topk: broadcast the (small) query set against the corpus,
-  cosine via zip_with/aggregate (pure JVM), top-k via window row_number.
-  Exact baseline; scales linearly in corpus size — the right tool when the
-  query set is small.
+- brute_force_topk: ship the (small, bounded-by-contract) query set into a
+  vectorized Arrow kernel over the corpus — numpy matmul per batch plus a
+  lossless per-batch partial top-k — then a window row_number for the
+  global rank. Exact baseline; scales linearly in corpus size — the right
+  tool when the query set is small.
 - ivf_topk: IVF-style two-stage search. Deterministic centroids are chosen by
   md5-hashing ids (evenly spread sample, reproducible in DuckDB), every
   corpus vector is assigned to its nearest centroid, and queries probe only
   the ``nprobe`` nearest cells — the classic inverted-file trade of recall
-  for a corpus-scan factor of ~nprobe/ncells. Every stage is a JVM
-  DataFrame expression (no Python in the path).
+  for a corpus-scan factor of ~nprobe/ncells. Cell assignment and the
+  exact re-rank are vectorized Arrow kernels (numpy matmul per batch);
+  the joins and the top-k window stay JVM DataFrame expressions.
 
 Ties are broken by ascending corpus id / centroid index so results are
 deterministic and oracle-comparable.
@@ -24,16 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from .util import ensure_parallelism
+
 
 def _norm_col(vec_col: str):
     return F.sqrt(
         F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x)
-    )
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
@@ -44,26 +42,74 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm_col(vec_col).alias("cn"),
-    ).where(F.col("cn") > 0)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm_col(vec_col).alias("qn"),
-    ).where(F.col("qn") > 0)
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
+    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
+
+    The query set is collected to the driver (it is small/bounded by
+    contract — the same assumption the former broadcast-crossJoin made)
+    and the corpus-side scoring is ONE vectorized Arrow pass: per batch,
+    a numpy matmul against the query matrix plus a per-batch partial
+    top-k under the global total order (cosine desc, neighbor_id asc) —
+    so only nq*k rows per batch reach the final window instead of nq*n,
+    and the per-element interpreted ``aggregate(zip_with(...))`` cosine
+    is gone from the hot path. Per-batch top-k under a total order is
+    lossless for the global top-k.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    qvecs = [np.asarray(r[1], dtype=np.float64) for r in qrows]
+    qm = np.asarray(qvecs) if qrows else np.zeros((0, 0))
+    qn = np.sqrt(np.einsum("ij,ij->i", qm, qm)) if qrows else np.zeros(0)
+    keep = qn > 0
+    qm, qn = qm[keep], qn[keep]
+    qids = [r[0] for r, m in zip(qrows, keep) if m]
+    nq = len(qids)
+
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    src = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 1024
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            cos = np.empty((n, nq))
+            cn = np.empty(n)
+            vs = pdf["v"]
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                cc = np.asarray(vs.iloc[s:e].tolist(), dtype=np.float64)
+                np.einsum("ij,ij->i", cc, cc, out=cn[s:e])
+                np.matmul(cc, qm.T, out=cos[s:e])
+            np.sqrt(cn, out=cn)
+            ok = cn > 0
+            cn[~ok] = 1.0
+            cos /= cn[:, None]
+            cos /= qn[None, :]
+            cos[~ok, :] = -np.inf
+            nid = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                col = cos[:, j].copy()
+                col[nid == qids[j]] = -np.inf  # self-pair exclusion
+                order = np.lexsort((nid, -col))[: min(k, n)]
+                order = order[np.isfinite(col[order])]
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(nid[order])
+                out_c.extend(col[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    scored = src.mapInPandas(
+        run, schema=f"query_id {qid_t}, neighbor_id {cid_t}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -105,18 +151,59 @@ def _nearest_cells(
     vecs: DataFrame, cents: DataFrame, id_alias: str, n_keep: int
 ) -> DataFrame:
     """(id, cell) pairs: each vector's n_keep nearest centroids by cosine
-    (ties -> smallest centroid index). Pure JVM: broadcast cross join over
-    the tiny centroid table + window rank."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        F.col(id_alias),
-        F.col("cidx").alias("cell"),
-        (_dot(F.col("v"), F.col("cv0")) / (F.col("nrm") * F.col("cn0"))).alias("csim"),
+    (ties -> smallest centroid index).
+
+    The centroid table is tiny and bounded (n_cells), so it ships into an
+    Arrow kernel's closure; per batch one numpy matmul scores every
+    centroid and a stable argsort picks the n_keep nearest. This replaces
+    the former broadcast-crossJoin with interpreted per-element cosine —
+    n x n_cells x dim boxed multiplies, the dominant IVF indexing cost at
+    corpus scale. Ranking divides by the centroid norm only: the vector's
+    own norm is constant within a row, so the order (and every tie) is
+    identical to the full cosine the SQL oracle computes. Callers
+    pre-filter zero-norm vectors (cosine undefined there).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    crows = cents.select("cidx", "cv0", "cn0").orderBy("cidx").collect()
+    nc = len(crows)
+    cidx = np.array([int(r["cidx"]) for r in crows], dtype=np.int64)
+    cm = (
+        np.asarray([np.asarray(r["cv0"], dtype=np.float64) for r in crows])
+        if nc
+        else np.zeros((0, 0))
     )
-    w = Window.partitionBy(id_alias).orderBy(F.desc("csim"), F.asc("cell"))
-    return (
-        scored.withColumn("crn", F.row_number().over(w))
-        .where(F.col("crn") <= n_keep)
-        .select(id_alias, "cell")
+    cn = np.array([float(r["cn0"]) for r in crows])
+    kk = min(n_keep, nc)
+    id_t = vecs.schema[id_alias].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 1024
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nc == 0:
+                continue
+            sims = np.empty((n, nc))
+            vs = pdf["v"]
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                vv = np.asarray(vs.iloc[s:e].tolist(), dtype=np.float64)
+                np.matmul(vv, cm.T, out=sims[s:e])
+            sims /= cn[None, :]
+            # stable sort on -sims: ties keep column order = ascending cidx
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            yield pd.DataFrame(
+                {
+                    id_alias: np.repeat(pdf[id_alias].to_numpy(), kk),
+                    "cell": cidx[order].ravel().astype(np.int32),
+                }
+            )
+
+    return ensure_parallelism(vecs.select(id_alias, "v")).mapInPandas(
+        run, schema=f"{id_alias} {id_t}, cell int"
     )
 
 
@@ -193,40 +280,47 @@ def ivf_topk(
     pre-filter ``aggregate(v, 0d, (a,x) -> a + x*x) = 0`` and handle those
     ids explicitly.
     """
+    from .dedup import _cosine_verify_arrow
+
     cents = pick_centroids(corpus, n_cells, id_col, vec_col)
     if kmeans_iters > 0:
         cents = refine_centroids(corpus, cents, kmeans_iters, id_col, vec_col)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v"),
-        _norm_col(vec_col).alias("nrm"),
-    ).where(F.col("nrm") > 0)
+    # Zero-norm vectors no longer need a pre-filter pass (the former
+    # interpreted O(n*dim) norm column): the exact-cosine Arrow kernel
+    # drops zero-norm rows itself, so a zero-norm corpus row is assigned a
+    # cell but can never reach the output, and a zero-norm query emits no
+    # rows — the documented semantics, at zero extra scan cost.
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
     assign = _nearest_cells(c, cents, "neighbor_id", 1)
     corpus_cells = c.join(assign, "neighbor_id").select(
-        "neighbor_id", F.col("v").alias("cv"), F.col("nrm").alias("cn"), "cell"
+        "neighbor_id", F.col("v").alias("cv"), "cell"
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("v"),
-        _norm_col(vec_col).alias("nrm"),
-    ).where(F.col("nrm") > 0)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
     q_probe = _nearest_cells(q, cents, "query_id", nprobe)
-    qv = q.select("query_id", F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    qv = q.select("query_id", F.col("v").alias("qv"))
 
     cand = (
         F.broadcast(q_probe.join(qv, "query_id"))
         .join(corpus_cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            F.col("query_id").alias("doc_id1"),
+            F.col("neighbor_id").alias("doc_id2"),
+            F.col("qv").alias("v1"),
+            F.col("cv").alias("v2"),
         )
     )
+    # exact re-rank: one vectorized Arrow pass (threshold -2 keeps every
+    # finite cosine; the kernel's job here is the dot product, not a cut)
+    scored = _cosine_verify_arrow(cand, -2.0).select(
+        F.col("doc_id1").alias("query_id"),
+        F.col("doc_id2").alias("neighbor_id"),
+        "cosine",
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def embedding_diagnostics(
@@ -241,13 +335,18 @@ def embedding_diagnostics(
     Output: one row per dimension ``(dim, n, mean, std, min, max)`` plus
     a ``dim = -1`` row describing the L2-NORM distribution (its ``n`` is
     the vector count; NULL/empty vectors are excluded and reported via
-    ``n`` deltas against the table count). Ordered by dim.
+    ``n`` deltas against the table count). Ordered by dim. NULL *elements*
+    are handled consistently: per-dim ``n`` counts non-null values only
+    (so it matches what mean/std/min/max aggregate), and vectors
+    containing any NULL element are excluded from the norm row entirely
+    (a partial-sum "norm" would be silently wrong) — both surface as
+    ``n`` deltas rather than skewed stats.
     """
     d = emb.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     ).select(id_col, F.posexplode(vec_col).alias("dim", "v"))
     per_dim = d.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n"),
         F.avg("v").alias("mean"),
         F.stddev_pop("v").alias("std"),
         F.min("v").alias("min"),
@@ -255,7 +354,11 @@ def embedding_diagnostics(
     )
     norms = (
         d.groupBy(id_col)
-        .agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+        .agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null_elems"),
+        )
+        .where(F.col("n_null_elems") == 0)
         .agg(
             F.lit(-1).alias("dim"),
             F.count(F.lit(1)).alias("n"),

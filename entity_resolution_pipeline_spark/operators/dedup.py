@@ -445,6 +445,65 @@ def near_dup_clusters(
     )
 
 
+def _cosine_verify_arrow(pairs_with_vecs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verify as ONE vectorized Arrow pass.
+
+    Input: candidate pairs carrying both vectors
+    ``(doc_id1, doc_id2, v1, v2)``; output the pairs with
+    ``cosine >= threshold`` plus the exact cosine. Replaces the former
+    interpreted ``F.aggregate(F.zip_with(...))`` kernel (Spark evaluates
+    higher-order lambdas per element, boxed — ~dim multiplies per row in
+    the interpreter); here each Arrow batch is a handful of numpy einsum
+    calls. Rows where either vector has zero norm are dropped (cosine
+    undefined), matching the former ``nrm > 0`` pre-filter.
+
+    Chunked at a few MB so temporaries recycle through the allocator
+    freelist (fresh large allocations pay first-touch faults on this VM).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id1_t = pairs_with_vecs.schema["doc_id1"].dataType.simpleString()
+    id2_t = pairs_with_vecs.schema["doc_id2"].dataType.simpleString()
+    thr = float(threshold)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 1024
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            dot = np.empty(n)
+            n1 = np.empty(n)
+            n2 = np.empty(n)
+            v1s, v2s = pdf["v1"], pdf["v2"]
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                a = np.asarray(v1s.iloc[s:e].tolist(), dtype=np.float64)
+                b = np.asarray(v2s.iloc[s:e].tolist(), dtype=np.float64)
+                np.einsum("ij,ij->i", a, b, out=dot[s:e])
+                np.einsum("ij,ij->i", a, a, out=n1[s:e])
+                np.einsum("ij,ij->i", b, b, out=n2[s:e])
+            denom = np.sqrt(n1)
+            denom *= np.sqrt(n2)
+            ok = denom > 0
+            cos = np.divide(dot, denom, out=dot, where=ok)
+            keep = ok & (cos >= thr)
+            yield pd.DataFrame(
+                {
+                    "doc_id1": pdf["doc_id1"].to_numpy()[keep],
+                    "doc_id2": pdf["doc_id2"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return pairs_with_vecs.mapInPandas(
+        run, schema=f"doc_id1 {id1_t}, doc_id2 {id2_t}, cosine double"
+    )
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -493,30 +552,22 @@ def embedding_lsh_pairs(
     src = ensure_parallelism(emb.select(id_col, vec_col))
     buckets = src.mapInPandas(run, schema="id long, band string")
     a, b = buckets.alias("a"), buckets.alias("b")
+    # Shuffle BARE id pairs through the band join + distinct; vectors are
+    # joined back only for the surviving candidates (dup bucket membership
+    # would otherwise explode vector-width rows O(bucket^2) pre-distinct).
     cands = (
         a.join(b, "band")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("doc_id1"), F.col("b.id").alias("doc_id2"))
         .distinct()
     )
-    normed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)).alias("nrm"),
-    ).where(F.col("nrm") > 0)
-    v1 = normed.select(F.col("id").alias("doc_id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
-    v2 = normed.select(F.col("id").alias("doc_id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
-    dot = F.aggregate(
-        F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    with_vecs = (
+        cands.join(vecs.withColumnsRenamed({"id": "doc_id1", "v": "v1"}), "doc_id1")
+        .join(vecs.withColumnsRenamed({"id": "doc_id2", "v": "v2"}), "doc_id2")
+        .select("doc_id1", "doc_id2", "v1", "v2")
     )
-    return (
-        cands.join(v1, "doc_id1")
-        .join(v2, "doc_id2")
-        .select("doc_id1", "doc_id2", (dot / (F.col("n1") * F.col("n2"))).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    return _cosine_verify_arrow(with_vecs, threshold)
 
 
 def embedding_cosine_pairs(
@@ -526,31 +577,26 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by cosine over an array<float> column — pure JVM.
+    """Near-dup pairs by cosine over an array<float> column.
 
     Without ``block_col`` this is a full self-join (O(n^2): only for small n
-    or pre-blocked inputs; the IVF path in ann.py is the scale route).
+    or pre-blocked inputs; the IVF path in ann.py is the scale route). The
+    candidate join (blocked equi-join or crossJoin) is pure JVM; the exact
+    cosine is one vectorized Arrow pass (see _cosine_verify_arrow).
     """
-    normed = emb.select(
+    rows = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x)).alias("nrm"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    ).where(F.col("nrm") > 0)
-    a, b = normed.alias("a"), normed.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    )
+    if not block_col:
+        rows = ensure_parallelism(rows)
+    a, b = rows.alias("a"), rows.alias("b")
     joined = a.join(b, F.col("a.blk") == F.col("b.blk")) if block_col else a.crossJoin(b)
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    with_vecs = joined.where(F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("doc_id1"),
+        F.col("b.id").alias("doc_id2"),
+        F.col("a.v").alias("v1"),
+        F.col("b.v").alias("v2"),
     )
-    return (
-        joined.where(cond)
-        .select(
-            F.col("a.id").alias("doc_id1"),
-            F.col("b.id").alias("doc_id2"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    return _cosine_verify_arrow(with_vecs, threshold)

@@ -113,6 +113,41 @@ class Catalog:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def _restore_backup(self, name: str) -> None:
+        """Recovery preamble for the stage/swap protocol: a crash between
+        the two renames leaves the only copy at ``name__backup`` — restore
+        it before doing anything else."""
+        backup = name + "__backup"
+        if not self.exists(name) and self.exists(backup):
+            os.rename(self.path(backup), self.path(name))
+
+    def _swap_in(self, staging: str, name: str) -> None:
+        """Atomic-enough table swap: old -> backup, staging -> canonical,
+        drop backup. A crash at ANY point leaves a complete copy of the
+        table at ``name`` or ``name__backup``; ``_restore_backup`` heals
+        the latter on the next call."""
+        backup = name + "__backup"
+        self.drop(backup)  # stale backup from an older completed swap
+        os.rename(self.path(name), self.path(backup))
+        os.rename(self.path(staging), self.path(name))
+        self.drop(backup)
+
+    def partition_columns(self, name: str) -> list[str]:
+        """Hive-partition columns of an on-disk table, outermost first,
+        inferred from the ``col=value`` directory chain (empty list for an
+        unpartitioned table)."""
+        cols: list[str] = []
+        cur = self.path(name)
+        while True:
+            subdirs = sorted(
+                d for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            )
+            if not subdirs:
+                return cols
+            cols.append(subdirs[0].split("=", 1)[0])
+            cur = os.path.join(cur, subdirs[0])
+
     def compact(self, name: str, target_file_mb: int = 256) -> int:
         """Rewrite a table into ~target-sized files; returns the new file
         count. The Iceberg ``rewrite_data_files`` analogue: a streaming
@@ -120,9 +155,13 @@ class Catalog:
         whose per-file open/footer cost eventually dominates scans (the
         classic small-files problem at 100 TB). Sizing uses the table's
         actual on-disk bytes; the rewrite is crash-safe via the same
-        staging-then-rename protocol as merge_upsert (a killed compact
-        leaves either the old or the new table, never a mix).
+        staging/swap/restore protocol as merge_upsert (a killed compact
+        leaves either the old or the new table, never a mix, and a
+        previous crash is healed on entry). A hive-partitioned table is
+        re-written WITH its partitioning (detected from the ``col=value``
+        dir chain), so partition pruning survives compaction.
         """
+        self._restore_backup(name)
         p = self.path(name)
         total = sum(
             os.path.getsize(os.path.join(r, f))
@@ -131,14 +170,19 @@ class Catalog:
             if f.endswith(".parquet")
         )
         n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
-        df = self.read(name).coalesce(n_files)
-        staging, backup = name + "__staging", name + "__backup"
+        part_cols = self.partition_columns(name)
+        df = self.read(name)
+        if part_cols:
+            # hash-distribute on the partition columns: each task holds
+            # whole partition values, so output is ~1 file per partition
+            # value (more tasks only if sizing demands them).
+            df = df.repartition(max(n_files, 1), *part_cols)
+        else:
+            df = df.coalesce(n_files)
+        staging = name + "__staging"
         self.drop(staging)
-        self.write(df, staging)
-        self.drop(backup)
-        os.rename(p, self.path(backup))
-        os.rename(self.path(staging), p)
-        self.drop(backup)
+        self.write(df, staging, partition_by=part_cols or None)
+        self._swap_in(staging, name)
         return sum(
             1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
         )
@@ -165,10 +209,7 @@ class Catalog:
         gone. A leftover backup from a crashed merge is restored on the next
         call before merging.
         """
-        backup = name + "__backup"
-        if not self.exists(name) and self.exists(backup):
-            # previous merge crashed between the two renames: restore
-            os.rename(self.path(backup), self.path(name))
+        self._restore_backup(name)  # heal a merge crashed mid-swap
         if not self.exists(name):
             self.write(df, name)
             return
@@ -177,10 +218,7 @@ class Catalog:
         merged = keep.unionByName(df.select(*old.columns))
         staging = name + "__staging"
         self.write(merged, staging)
-        self.drop(backup)  # stale backup from an older completed merge
-        os.rename(self.path(name), self.path(backup))
-        os.rename(self.path(staging), self.path(name))
-        self.drop(backup)
+        self._swap_in(staging, name)
 
 
 def _stat_uri(df: DataFrame, uri: str) -> tuple[int, int]:

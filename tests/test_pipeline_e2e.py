@@ -535,3 +535,76 @@ def test_catalog_partitioned_write_prunes_scan(spark, tmp_path_factory):
     pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "source" in pf_line, pf_line
     assert one.count() > 0
+
+
+def test_catalog_compact_partitioned_preserves_layout(spark, tmp_path_factory):
+    """ADVICE r4: compact() on a hive-partitioned table must re-write WITH
+    the partitioning — the ``col=value`` dirs (and the partition pruning
+    they enable) survive, values identical, file count not worse."""
+    import os as _os
+
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path_factory.mktemp("compact_part_wh"))
+    cat = Catalog(spark, wh)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # repartition(8) -> several files inside every partition dir
+    cat.write(docs.repartition(8), "dp", partition_by=["source"])
+    assert cat.partition_columns("dp") == ["source"]
+
+    def count_files(p):
+        return sum(1 for _, _, fs in _os.walk(p) for f in fs
+                   if f.endswith(".parquet"))
+
+    before_files = count_files(cat.path("dp"))
+    before = sorted((r["doc_id"], r["source"])
+                    for r in cat.read("dp").select("doc_id", "source").collect())
+    n_after = cat.compact("dp", target_file_mb=256)
+    assert cat.partition_columns("dp") == ["source"], "partitioning flattened"
+    assert n_after < before_files
+    after = sorted((r["doc_id"], r["source"])
+                   for r in cat.read("dp").select("doc_id", "source").collect())
+    assert after == before
+    # pruning still plans as a PartitionFilter after the rewrite
+    one = cat.read("dp").where(F.col("source") == before[0][1])
+    jvm = spark.sparkContext._jvm
+    plan = one._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and "source" in pf_lines[0], plan
+
+
+def test_catalog_compact_crash_recovery(spark, tmp_path_factory):
+    """ADVICE r4: a compact killed between its two renames leaves the only
+    copy at ``name__backup``; the next compact() heals it via the shared
+    restore preamble instead of failing until manual repair."""
+    import os as _os
+
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path_factory.mktemp("compact_crash_wh"))
+    cat = Catalog(spark, wh)
+    cat.write(spark.range(500), "t")
+    rows = sorted(r["id"] for r in cat.read("t").collect())
+    # simulate the crash window: old table renamed to backup, new one not
+    # yet swapped in (staging already gone)
+    _os.rename(cat.path("t"), cat.path("t__backup"))
+    assert not cat.exists("t")
+    cat.compact("t", target_file_mb=256)
+    assert cat.exists("t")
+    assert sorted(r["id"] for r in cat.read("t").collect()) == rows
+    assert not _os.path.isdir(cat.path("t__staging"))
+    assert not _os.path.isdir(cat.path("t__backup"))
+
+
+def test_confirmed_min_estimator():
+    """bench._confirmed_min: an unconfirmed fast outlier is rejected, a
+    reproduced min is kept, degenerate inputs fall back to plain min.
+    First case is the literal r4 driver data that sat the scaling gate at
+    exactly 0.80 (21.47 unreproduced vs a 25-27 s cluster)."""
+    import bench
+
+    assert bench._confirmed_min([21.47, 26.45, 26.59, 25.26]) == 25.26
+    assert bench._confirmed_min([6.709, 6.71, 7.93]) == 6.709
+    assert bench._confirmed_min([5.0]) == 5.0
+    assert bench._confirmed_min([10.0, 20.0]) == 10.0

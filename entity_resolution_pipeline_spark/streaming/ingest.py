@@ -337,19 +337,24 @@ def near_dup_pairs_stream(
 
     State profile at scale: bytes per bucket <= max_bucket_state *
     (8 + 8*num_perm); buckets shard across executors by the band hash —
-    the same equi-partitioning the batch bucket-join shuffles on. Works
-    on batch frames too (same groupBy path via applyInPandas semantics is
-    not available — for batch use minhash_lsh_pairs; this operator
-    asserts a streaming input).
+    the same equi-partitioning the batch bucket-join shuffles on.
+
+    STREAMING ONLY: ``applyInPandasWithState`` requires a streaming input
+    (a batch frame fails deep in the engine with an opaque error), so this
+    operator raises up front on one — the batch twin is
+    ``operators.dedup.minhash_lsh_pairs``.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if not docs.isStreaming:
+        raise ValueError(
+            "near_dup_pairs_stream requires a streaming DataFrame "
+            "(readStream); use operators.dedup.minhash_lsh_pairs for batch"
+        )
     band_rows = _minhash_band_rows_stream(
         docs, text_col, id_col, ts_col, num_perm, bands, shingle_k
-    )
-    if docs.isStreaming:
-        band_rows = band_rows.withWatermark("ts", watermark)
+    ).withWatermark("ts", watermark)
 
     out_schema = "doc_id1 long, doc_id2 long, est_jaccard double, ts timestamp"
     state_schema = "ids array<bigint>, flat array<bigint>"

@@ -516,3 +516,20 @@ def test_near_dup_stream_fifo_state_bound(spark, tmp_warehouse):
     # every bucket, the pair set is the union = still the chain)
     expect = {(i - 1, i) for i in range(1, 5)} | {(i - 2, i) for i in range(2, 5)}
     assert pairs == expect
+
+
+def test_near_dup_stream_rejects_batch(spark):
+    """ADVICE r4: applyInPandasWithState needs a streaming input; a batch
+    frame must fail fast with a clear ValueError, not an opaque engine
+    error deep in execution."""
+    import pytest as _pytest
+
+    from entity_resolution_pipeline_spark.streaming.ingest import (
+        near_dup_pairs_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    ).withColumn("ts", F.current_timestamp())
+    with _pytest.raises(ValueError, match="streaming"):
+        near_dup_pairs_stream(docs)

@@ -4,18 +4,21 @@ Replaces the reference's Weaviate HNSW serving (S5/J1/W1,
 /root/reference/src/indexing.py, /root/reference/src/batch_querying.py) with
 two DataFrame plans over ``(id, array<float>)``:
 
-- brute_force_topk: ship the (small, bounded-by-contract) query set into a
-  vectorized Arrow kernel over the corpus — numpy matmul per batch plus a
-  lossless per-batch partial top-k — then a window row_number for the
-  global rank. Exact baseline; scales linearly in corpus size — the right
-  tool when the query set is small.
+- brute_force_topk: exact top-k baseline; scales linearly in corpus size —
+  the right tool when the query set is small.
 - ivf_topk: IVF-style two-stage search. Deterministic centroids are chosen by
   md5-hashing ids (evenly spread sample, reproducible in DuckDB), every
   corpus vector is assigned to its nearest centroid, and queries probe only
   the ``nprobe`` nearest cells — the classic inverted-file trade of recall
-  for a corpus-scan factor of ~nprobe/ncells. Cell assignment and the
-  exact re-rank are vectorized Arrow kernels (numpy matmul per batch);
-  the joins and the top-k window stay JVM DataFrame expressions.
+  for a corpus-scan factor of ~nprobe/ncells.
+
+Both operators pick between two value-identical physical strategies by
+Catalyst's corpus-size estimate (the broadcast-threshold pattern): a
+single codegen JVM stage below ~64 MB (fixed Arrow-stage costs dominate
+tiny inputs), and vectorized Arrow kernels (numpy matmul per batch) above
+it, where the interpreted per-element cosine would cost rows x dim boxed
+multiplies. The joins and the top-k window stay JVM DataFrame expressions
+in either mode.
 
 Ties are broken by ascending corpus id / centroid index so results are
 deterministic and oracle-comparable.
@@ -35,29 +38,81 @@ def _norm_col(vec_col: str):
     )
 
 
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+# Below this estimated corpus size the single-stage interpreted-JVM plan
+# beats the vectorized Arrow kernel: the kernel's fixed costs (a collect
+# job for the query/centroid matrix, python-worker round trips, an extra
+# shuffle boundary) are ~2-3 s on this box, while interpreting a few
+# thousand rows x 64 dims is milliseconds. Past it the per-element
+# interpreter cost scales with rows*dim and the Arrow matmul wins by
+# orders of magnitude. Same statistic-driven adaptivity Spark itself uses
+# for the broadcast-join threshold.
+_ARROW_MIN_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated output size of the plan (bytes) — the same
+    cheap statistic the broadcast-join threshold consults; no job runs."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
 
-    The query set is collected to the driver (it is small/bounded by
-    contract — the same assumption the former broadcast-crossJoin made)
-    and the corpus-side scoring is ONE vectorized Arrow pass: per batch,
-    a numpy matmul against the query matrix plus a per-batch partial
-    top-k under the global total order (cosine desc, neighbor_id asc) —
-    so only nq*k rows per batch reach the final window instead of nq*n,
-    and the per-element interpreted ``aggregate(zip_with(...))`` cosine
-    is gone from the hot path. Per-batch top-k under a total order is
-    lossless for the global top-k.
+    Two value-identical physical strategies, picked by Catalyst's corpus
+    size estimate (``strategy='auto'``; force with ``'jvm'``/``'arrow'``):
+
+    - ``'jvm'`` (small corpus): broadcast the query set, crossJoin, cosine
+      via zip_with/aggregate, window top-k — one codegen stage, no Python.
+    - ``'arrow'`` (large corpus): collect the (small, bounded-by-contract)
+      query set to the driver and score the corpus in ONE vectorized Arrow
+      pass — numpy matmul per batch plus a per-batch partial top-k under
+      the global total order (cosine desc, neighbor_id asc), so only nq*k
+      rows per batch reach the final window instead of nq*n. Per-batch
+      top-k under a total order is lossless for the global top-k.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
+
+    if strategy == "auto":
+        strategy = "jvm" if _plan_size_bytes(corpus) < _ARROW_MIN_BYTES else "arrow"
+    if strategy == "jvm":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm_col(vec_col).alias("cn"),
+        ).where(F.col("cn") > 0)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm_col(vec_col).alias("qn"),
+        ).where(F.col("qn") > 0)
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
     qrows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
     qvecs = [np.asarray(r[1], dtype=np.float64) for r in qrows]
@@ -148,25 +203,45 @@ def pick_centroids(
 
 
 def _nearest_cells(
-    vecs: DataFrame, cents: DataFrame, id_alias: str, n_keep: int
+    vecs: DataFrame, cents: DataFrame, id_alias: str, n_keep: int,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(id, cell) pairs: each vector's n_keep nearest centroids by cosine
-    (ties -> smallest centroid index).
+    (ties -> smallest centroid index). Value-identical strategies picked
+    by the vector side's size estimate (see _ARROW_MIN_BYTES):
 
-    The centroid table is tiny and bounded (n_cells), so it ships into an
-    Arrow kernel's closure; per batch one numpy matmul scores every
-    centroid and a stable argsort picks the n_keep nearest. This replaces
-    the former broadcast-crossJoin with interpreted per-element cosine —
-    n x n_cells x dim boxed multiplies, the dominant IVF indexing cost at
-    corpus scale. Ranking divides by the centroid norm only: the vector's
-    own norm is constant within a row, so the order (and every tie) is
-    identical to the full cosine the SQL oracle computes. Callers
-    pre-filter zero-norm vectors (cosine undefined there).
+    - ``'jvm'``: broadcast-crossJoin over the tiny centroid table +
+      window rank — one codegen stage, right for small inputs.
+    - ``'arrow'``: the centroid table is tiny and bounded (n_cells), so
+      it ships into an Arrow kernel's closure; per batch one numpy
+      matmul scores every centroid and a stable argsort picks the n_keep
+      nearest — the interpreted crossJoin cosine is n x n_cells x dim
+      boxed multiplies, the dominant IVF indexing cost at corpus scale.
+      Ranking divides by the centroid norm only: the vector's own norm
+      is constant within a row, so the order (and every tie) is
+      identical to the full cosine the SQL oracle computes; ranking-only
+      zero-norm vectors get an arbitrary-but-deterministic cell and are
+      dropped later by the exact verify (cosine undefined).
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
+
+    if strategy == "auto":
+        strategy = "jvm" if _plan_size_bytes(vecs) < _ARROW_MIN_BYTES else "arrow"
+    if strategy == "jvm":
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            F.col(id_alias),
+            F.col("cidx").alias("cell"),
+            (_dot(F.col("v"), F.col("cv0")) / F.col("cn0")).alias("csim"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("csim"), F.asc("cell"))
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .where(F.col("crn") <= n_keep)
+            .select(id_alias, "cell")
+        )
 
     crows = cents.select("cidx", "cv0", "cn0").orderBy("cidx").collect()
     nc = len(crows)
@@ -263,13 +338,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF two-stage ANN: probe the nprobe nearest cells per query.
 
-    Fully deterministic and JVM-side (centroid pick, cell assignment, probe,
-    and exact re-rank are all DataFrame expressions), so the whole operator
-    is reproducible in ANSI SQL — the classic inverted-file trade of recall
-    for a corpus-scan factor of ~nprobe/n_cells. ``kmeans_iters > 0`` adds
+    Fully deterministic and reproducible in ANSI SQL — the classic
+    inverted-file trade of recall for a corpus-scan factor of
+    ~nprobe/n_cells. Cell assignment and the exact re-rank run as either
+    one codegen JVM stage (small corpus) or a vectorized Arrow kernel
+    (large corpus) — value-identical, picked by Catalyst's corpus size
+    estimate (``strategy`` forces one). ``kmeans_iters > 0`` adds
     Lloyd refinement of the hash-sampled centroids (better cells on skewed
     corpora; the SQL-oracled contract query keeps iters=0).
 
@@ -282,43 +360,57 @@ def ivf_topk(
     """
     from .dedup import _cosine_verify_arrow
 
+    if strategy == "auto":
+        strategy = "jvm" if _plan_size_bytes(corpus) < _ARROW_MIN_BYTES else "arrow"
+
     cents = pick_centroids(corpus, n_cells, id_col, vec_col)
     if kmeans_iters > 0:
         cents = refine_centroids(corpus, cents, kmeans_iters, id_col, vec_col)
 
-    # Zero-norm vectors no longer need a pre-filter pass (the former
-    # interpreted O(n*dim) norm column): the exact-cosine Arrow kernel
-    # drops zero-norm rows itself, so a zero-norm corpus row is assigned a
-    # cell but can never reach the output, and a zero-norm query emits no
-    # rows — the documented semantics, at zero extra scan cost.
+    # Zero-norm vectors need no pre-filter pass (the former interpreted
+    # O(n*dim) norm column): the exact-cosine verify drops zero-norm rows
+    # itself, so a zero-norm corpus row is assigned a cell but can never
+    # reach the output, and a zero-norm query emits no rows — the
+    # documented semantics, at zero extra scan cost.
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
-    assign = _nearest_cells(c, cents, "neighbor_id", 1)
+    assign = _nearest_cells(c, cents, "neighbor_id", 1, strategy)
     corpus_cells = c.join(assign, "neighbor_id").select(
         "neighbor_id", F.col("v").alias("cv"), "cell"
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
-    q_probe = _nearest_cells(q, cents, "query_id", nprobe)
+    q_probe = _nearest_cells(q, cents, "query_id", nprobe, strategy)
     qv = q.select("query_id", F.col("v").alias("qv"))
 
     cand = (
         F.broadcast(q_probe.join(qv, "query_id"))
         .join(corpus_cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            F.col("query_id").alias("doc_id1"),
-            F.col("neighbor_id").alias("doc_id2"),
-            F.col("qv").alias("v1"),
-            F.col("cv").alias("v2"),
+    )
+    if strategy == "jvm":
+        n1, n2 = _norm_col("qv"), _norm_col("cv")
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (n1 * n2)).alias("cosine"),
+            n1.alias("_n1"), n2.alias("_n2"),
+        ).where((F.col("_n1") > 0) & (F.col("_n2") > 0)).drop("_n1", "_n2")
+    else:
+        # exact re-rank: one vectorized Arrow pass (threshold -2 keeps
+        # every finite cosine; the kernel's job is the dot, not a cut)
+        scored = _cosine_verify_arrow(
+            cand.select(
+                F.col("query_id").alias("doc_id1"),
+                F.col("neighbor_id").alias("doc_id2"),
+                F.col("qv").alias("v1"),
+                F.col("cv").alias("v2"),
+            ),
+            -2.0,
+        ).select(
+            F.col("doc_id1").alias("query_id"),
+            F.col("doc_id2").alias("neighbor_id"),
+            "cosine",
         )
-    )
-    # exact re-rank: one vectorized Arrow pass (threshold -2 keeps every
-    # finite cosine; the kernel's job here is the dot product, not a cut)
-    scored = _cosine_verify_arrow(cand, -2.0).select(
-        F.col("doc_id1").alias("query_id"),
-        F.col("doc_id2").alias("neighbor_id"),
-        "cosine",
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -268,6 +268,28 @@ class TestANN:
         recall = len(e & a) / len(e)
         assert recall >= 0.6  # nprobe=4 of 8 cells
 
+    def test_strategies_value_identical(self, spark):
+        """The size-adaptive 'jvm' and 'arrow' physical strategies must
+        return identical (query, neighbor, rank) sets and matching cosines
+        — the sf0.01 oracle exercises the jvm branch (tiny corpus), this
+        pins the arrow branch against it so the scale path stays
+        correctness-gated."""
+        emb = self._emb(spark, n=150, d=16)
+        q = emb.where(F.col("vec_id") < 4)
+        for op, kw in ((brute_force_topk, {}),
+                       (ivf_topk, {"n_cells": 8, "nprobe": 3})):
+            out = {}
+            for strat in ("jvm", "arrow"):
+                rows = op(emb, q, k=5, strategy=strat, **kw).collect()
+                out[strat] = {
+                    (r["query_id"], r["neighbor_id"], r["rank"]):
+                        round(r["cosine"], 9)
+                    for r in rows
+                }
+            assert out["jvm"].keys() == out["arrow"].keys()
+            for key, cj in out["jvm"].items():
+                assert abs(cj - out["arrow"][key]) < 1e-9, (op.__name__, key)
+
 
 class TestTextStats:
     def test_token_counts_vs_python(self, spark):

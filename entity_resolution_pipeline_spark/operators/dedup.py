@@ -504,6 +504,82 @@ def _cosine_verify_arrow(pairs_with_vecs: DataFrame, threshold: float) -> DataFr
     )
 
 
+def _block_gram_pairs(
+    rows: DataFrame,
+    threshold: float,
+    block_col: str = "blk",
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All within-block cosine pairs >= threshold via a per-block GRAM
+    matrix — the scale design for exact verification.
+
+    Each block's vectors are shuffled ONCE (n_b rows of dim floats),
+    normalized, and multiplied blockwise (BLAS matmul, chunked on both
+    axes so no temporary exceeds a few MB); only the (i < j, sim >=
+    threshold) survivors are emitted. Measured against the alternatives
+    at 50k x 256 / ~1M candidate pairs on this box: gram 2.4 s vs 4.4 s
+    for the interpreted JVM pair-verify (which ALSO needs the O(P)
+    self-join first) vs 7.6 s for a per-pair Arrow verify (2P*dim floats
+    through serde). Pair-wise vector transfer — not the arithmetic — is
+    the cost that kills the other designs; gram moves each vector once.
+
+    Ids are sorted inside the kernel, so output orientation is canonical
+    (doc_id1 < doc_id2) and results are partitioning-invariant (fixed
+    chunk sizes -> identical BLAS shapes -> identical floats). Zero-norm
+    vectors are dropped (cosine undefined). Memory per task is
+    O(n_b * dim): a pathologically hot block needs upstream splitting,
+    the same constraint the band-join design had at O(n_b^2) rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    id_t = rows.schema[id_col].dataType.simpleString()
+    row_ch, col_ch = 512, 4096
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        o1, o2, oc = [], [], []
+        if m >= 2:
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            vv = np.asarray(pdf[vec_col].to_numpy()[order].tolist(), dtype=np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", vv, vv))
+            ok = nrm > 0
+            ids, vv, nrm = ids[ok], vv[ok], nrm[ok]
+            vv /= nrm[:, None]
+            m = len(ids)
+            for s in range(0, m, row_ch):
+                e = min(s + row_ch, m)
+                for t in range(s, m, col_ch):
+                    u = min(t + col_ch, m)
+                    sim = vv[s:e] @ vv[t:u].T
+                    # hits collected on the whole 2-D tile at once: dense
+                    # near-dup blocks would choke a per-row Python loop
+                    ii, jj = np.nonzero(sim >= thr)
+                    gi, gj = ii + s, jj + t
+                    keep = gj > gi
+                    if keep.any():
+                        o1.append(ids[gi[keep]])
+                        o2.append(ids[gj[keep]])
+                        oc.append(sim[ii[keep], jj[keep]])
+        if not o1:
+            return pd.DataFrame({"doc_id1": [], "doc_id2": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "doc_id1": np.concatenate(o1),
+                "doc_id2": np.concatenate(o2),
+                "cosine": np.concatenate(oc),
+            }
+        )
+
+    return rows.groupBy(block_col).applyInPandas(
+        per_block, schema=f"doc_id1 {id_t}, doc_id2 {id_t}, cosine double"
+    )
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -516,11 +592,17 @@ def embedding_lsh_pairs(
     """Cosine near-dup pairs at scale: random-hyperplane LSH + exact verify.
 
     Sign bits of dot(v, r_j) over ``n_planes`` seeded Gaussian hyperplanes
-    (one vectorized Arrow pass), grouped into ``bands`` bucket keys — two
-    vectors within angle θ share a band with prob (1 - θ/π)^(planes/bands)
-    per band, so the cosine θ-join becomes an equi-join; candidates are
-    verified with the exact JVM cosine. This is the scale path that replaces
-    ``embedding_cosine_pairs``'s crossJoin fallback for unblocked corpora.
+    (one vectorized Arrow pass that also passes the vector through),
+    grouped into ``bands`` bucket keys — two vectors within angle θ share
+    a band with prob (1 - θ/π)^(planes/bands) per band, so the cosine
+    θ-join becomes a bucket grouping. Each band bucket is verified with a
+    per-bucket GRAM kernel (see _block_gram_pairs): vectors move once per
+    band (bands*n rows) instead of twice per candidate pair, there is no
+    self-join or distinct over O(bucket^2) rows at all, and the exact
+    cosines come from BLAS. A pair sharing several bands is emitted per
+    band and deduped by a final (doc_id1, doc_id2) min-aggregation (the
+    recomputed cosines agree to the last ulp or within one BLAS rounding
+    of it; `min` makes the survivor deterministic).
     """
     import hashlib
     from collections.abc import Iterator
@@ -534,40 +616,27 @@ def embedding_lsh_pairs(
     dim = int(dim_row["d"])
     planes = np.random.RandomState(seed).randn(n_planes, dim)
     rows_per_band = n_planes // bands
+    vec_t = emb.schema[vec_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
         for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bits = (V @ planes.T) >= 0  # (n, n_planes) sign bits
-            out_ids, out_bands = [], []
-            for rid, brow in zip(pdf[id_col], bits):
+            vv = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (vv @ planes.T) >= 0  # (n, n_planes) sign bits
+            out_ids, out_bands, out_vecs = [], [], []
+            for rid, vec, brow in zip(pdf[id_col], pdf[vec_col], bits):
                 for b in range(bands):
                     chunk = brow[b * rows_per_band:(b + 1) * rows_per_band]
                     key = f"{b}:" + "".join("1" if x else "0" for x in chunk)
                     out_ids.append(rid)
                     out_bands.append(md5(key.encode()).hexdigest())
-            yield pd.DataFrame({"id": out_ids, "band": out_bands})
+                    out_vecs.append(vec)
+            yield pd.DataFrame({"id": out_ids, "band": out_bands, "v": out_vecs})
 
     src = ensure_parallelism(emb.select(id_col, vec_col))
-    buckets = src.mapInPandas(run, schema="id long, band string")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    # Shuffle BARE id pairs through the band join + distinct; vectors are
-    # joined back only for the surviving candidates (dup bucket membership
-    # would otherwise explode vector-width rows O(bucket^2) pre-distinct).
-    cands = (
-        a.join(b, "band")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("doc_id1"), F.col("b.id").alias("doc_id2"))
-        .distinct()
-    )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    with_vecs = (
-        cands.join(vecs.withColumnsRenamed({"id": "doc_id1", "v": "v1"}), "doc_id1")
-        .join(vecs.withColumnsRenamed({"id": "doc_id2", "v": "v2"}), "doc_id2")
-        .select("doc_id1", "doc_id2", "v1", "v2")
-    )
-    return _cosine_verify_arrow(with_vecs, threshold)
+    buckets = src.mapInPandas(run, schema=f"id long, band string, v {vec_t}")
+    pairs = _block_gram_pairs(buckets, threshold, block_col="band")
+    return pairs.groupBy("doc_id1", "doc_id2").agg(F.min("cosine").alias("cosine"))
 
 
 def embedding_cosine_pairs(
@@ -579,21 +648,23 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Near-dup pairs by cosine over an array<float> column.
 
-    Without ``block_col`` this is a full self-join (O(n^2): only for small n
-    or pre-blocked inputs; the IVF path in ann.py is the scale route). The
-    candidate join (blocked equi-join or crossJoin) is pure JVM; the exact
-    cosine is one vectorized Arrow pass (see _cosine_verify_arrow).
+    With ``block_col`` each block is verified by the per-block GRAM kernel
+    (see _block_gram_pairs): vectors shuffle once per block and BLAS does
+    the pairwise cosines — no self-join, no per-pair vector movement.
+    Without ``block_col`` this is a full cross product (O(n^2): only for
+    small n; the LSH/IVF paths are the scale routes for unblocked
+    corpora), done as a crossJoin + one vectorized Arrow verify pass.
     """
     rows = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    if not block_col:
-        rows = ensure_parallelism(rows)
+    if block_col:
+        return _block_gram_pairs(rows, threshold, block_col="blk")
+    rows = ensure_parallelism(rows)
     a, b = rows.alias("a"), rows.alias("b")
-    joined = a.join(b, F.col("a.blk") == F.col("b.blk")) if block_col else a.crossJoin(b)
-    with_vecs = joined.where(F.col("a.id") < F.col("b.id")).select(
+    with_vecs = a.crossJoin(b).where(F.col("a.id") < F.col("b.id")).select(
         F.col("a.id").alias("doc_id1"),
         F.col("b.id").alias("doc_id2"),
         F.col("a.v").alias("v1"),

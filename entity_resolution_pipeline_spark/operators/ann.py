@@ -185,29 +185,53 @@ def pick_centroids(
     engine-independent hash sample (md5 exists in DuckDB too, so the
     correctness oracle picks the identical centroids). Zero-norm vectors are
     excluded (they cannot anchor a cosine cell).
+
+    The zero-norm exclusion is applied AFTER an over-fetch of the
+    (n_cells + 64) smallest hashes, so the full-corpus scan computes only
+    the 16-byte hash, not an interpreted O(dim) norm per row; norms are
+    evaluated on the tiny over-fetched set. If more than 64 of those turn
+    out zero-norm (a pathologically zero-vector-heavy corpus), an exact
+    full-scan fallback reproduces the original semantics — the selected
+    set is identical to "norm-filter first" in every case.
     """
     h = F.md5(F.col(id_col).cast("string"))
+    base = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv0"), h.alias("h")
+    )
+    over = base.orderBy("h", "cid").limit(n_cells + 64)
     cents = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cv0"),
-            _norm_col(vec_col).alias("cn0"),
-            h.alias("h"),
-        )
+        over.withColumn("cn0", _norm_col("cv0"))
         .where(F.col("cn0") > 0)
         .orderBy("h", "cid")
         .limit(n_cells)
     )
+    if cents.count() < min(n_cells, corpus.limit(n_cells).count()):
+        cents = (
+            base.withColumn("cn0", _norm_col("cv0"))
+            .where(F.col("cn0") > 0)
+            .orderBy("h", "cid")
+            .limit(n_cells)
+        )
     w = Window.orderBy("h", "cid")
-    return cents.withColumn("cidx", F.row_number().over(w)).select("cidx", "cv0", "cn0")
+    cents = cents.withColumn("cidx", F.row_number().over(w)).select("cidx", "cv0", "cn0")
+    # materialize the (tiny, <= n_cells rows) result and cut its lineage:
+    # the centroid table is consumed by several downstream plans (corpus
+    # assignment, query probe, Lloyd refinement, driver collect in the
+    # arrow kernels) and each would otherwise replay the corpus-wide hash
+    # TakeOrdered — n_cells rows as literals cost nothing to re-create.
+    rows = cents.collect()
+    return cents.sparkSession.createDataFrame(rows, cents.schema)
 
 
 def _nearest_cells(
     vecs: DataFrame, cents: DataFrame, id_alias: str, n_keep: int,
-    strategy: str = "auto",
+    strategy: str = "auto", passthrough_vec: bool = False,
 ) -> DataFrame:
     """(id, cell) pairs: each vector's n_keep nearest centroids by cosine
-    (ties -> smallest centroid index). Value-identical strategies picked
+    (ties -> smallest centroid index). With ``passthrough_vec`` the input
+    vector rides along in a ``v`` column (the caller then needs no join
+    to reattach vectors — they move through the shuffle exactly once).
+    Value-identical strategies picked
     by the vector side's size estimate (see _ARROW_MIN_BYTES):
 
     - ``'jvm'``: broadcast-crossJoin over the tiny centroid table +
@@ -230,17 +254,19 @@ def _nearest_cells(
 
     if strategy == "auto":
         strategy = "jvm" if _plan_size_bytes(vecs) < _ARROW_MIN_BYTES else "arrow"
+    extra = ["v"] if passthrough_vec else []
     if strategy == "jvm":
         scored = vecs.crossJoin(F.broadcast(cents)).select(
             F.col(id_alias),
             F.col("cidx").alias("cell"),
             (_dot(F.col("v"), F.col("cv0")) / F.col("cn0")).alias("csim"),
+            *extra,
         )
         w = Window.partitionBy(id_alias).orderBy(F.desc("csim"), F.asc("cell"))
         return (
             scored.withColumn("crn", F.row_number().over(w))
             .where(F.col("crn") <= n_keep)
-            .select(id_alias, "cell")
+            .select(id_alias, "cell", *extra)
         )
 
     crows = cents.select("cidx", "cv0", "cn0").orderBy("cidx").collect()
@@ -254,6 +280,7 @@ def _nearest_cells(
     cn = np.array([float(r["cn0"]) for r in crows])
     kk = min(n_keep, nc)
     id_t = vecs.schema[id_alias].dataType.simpleString()
+    vec_t = vecs.schema["v"].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk = 1024
@@ -270,16 +297,18 @@ def _nearest_cells(
             sims /= cn[None, :]
             # stable sort on -sims: ties keep column order = ascending cidx
             order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            yield pd.DataFrame(
-                {
-                    id_alias: np.repeat(pdf[id_alias].to_numpy(), kk),
-                    "cell": cidx[order].ravel().astype(np.int32),
-                }
-            )
+            out = {
+                id_alias: np.repeat(pdf[id_alias].to_numpy(), kk),
+                "cell": cidx[order].ravel().astype(np.int32),
+            }
+            if passthrough_vec:
+                out["v"] = np.repeat(vs.to_numpy(), kk)
+            yield pd.DataFrame(out)
 
-    return ensure_parallelism(vecs.select(id_alias, "v")).mapInPandas(
-        run, schema=f"{id_alias} {id_t}, cell int"
-    )
+    schema = f"{id_alias} {id_t}, cell int"
+    if passthrough_vec:
+        schema += f", v {vec_t}"
+    return ensure_parallelism(vecs.select(id_alias, "v")).mapInPandas(run, schema)
 
 
 def refine_centroids(
@@ -358,7 +387,8 @@ def ivf_topk(
     pre-filter ``aggregate(v, 0d, (a,x) -> a + x*x) = 0`` and handle those
     ids explicitly.
     """
-    from .dedup import _cosine_verify_arrow
+    import numpy as np
+    import pandas as pd
 
     if strategy == "auto":
         strategy = "jvm" if _plan_size_bytes(corpus) < _ARROW_MIN_BYTES else "arrow"
@@ -368,26 +398,27 @@ def ivf_topk(
         cents = refine_centroids(corpus, cents, kmeans_iters, id_col, vec_col)
 
     # Zero-norm vectors need no pre-filter pass (the former interpreted
-    # O(n*dim) norm column): the exact-cosine verify drops zero-norm rows
+    # O(n*dim) norm column): the exact scorer drops zero-norm rows
     # itself, so a zero-norm corpus row is assigned a cell but can never
     # reach the output, and a zero-norm query emits no rows — the
     # documented semantics, at zero extra scan cost.
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
-    assign = _nearest_cells(c, cents, "neighbor_id", 1, strategy)
-    corpus_cells = c.join(assign, "neighbor_id").select(
-        "neighbor_id", F.col("v").alias("cv"), "cell"
-    )
+    # passthrough_vec: corpus vectors ride the assignment output, so they
+    # move through exactly one shuffle (the groupBy cell / probe join) —
+    # no reattachment join over the whole corpus
+    corpus_cells = _nearest_cells(c, cents, "neighbor_id", 1, strategy,
+                                  passthrough_vec=True)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
     q_probe = _nearest_cells(q, cents, "query_id", nprobe, strategy)
-    qv = q.select("query_id", F.col("v").alias("qv"))
 
-    cand = (
-        F.broadcast(q_probe.join(qv, "query_id"))
-        .join(corpus_cells, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-    )
     if strategy == "jvm":
+        qv = q.select("query_id", F.col("v").alias("qv"))
+        cand = (
+            F.broadcast(q_probe.join(qv, "query_id"))
+            .join(corpus_cells.withColumnRenamed("v", "cv"), "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+        )
         n1, n2 = _norm_col("qv"), _norm_col("cv")
         scored = cand.select(
             "query_id",
@@ -396,20 +427,60 @@ def ivf_topk(
             n1.alias("_n1"), n2.alias("_n2"),
         ).where((F.col("_n1") > 0) & (F.col("_n2") > 0)).drop("_n1", "_n2")
     else:
-        # exact re-rank: one vectorized Arrow pass (threshold -2 keeps
-        # every finite cosine; the kernel's job is the dot, not a cut)
-        scored = _cosine_verify_arrow(
-            cand.select(
-                F.col("query_id").alias("doc_id1"),
-                F.col("neighbor_id").alias("doc_id2"),
-                F.col("qv").alias("v1"),
-                F.col("cv").alias("v2"),
-            ),
-            -2.0,
-        ).select(
-            F.col("doc_id1").alias("query_id"),
-            F.col("doc_id2").alias("neighbor_id"),
-            "cosine",
+        # Per-CELL gram scoring: the probe lists + query vectors are small
+        # and bounded by contract, so they ship in the kernel closure
+        # keyed by cell; each cell's corpus vectors arrive ONCE via the
+        # groupBy shuffle and are scored against that cell's queries with
+        # one BLAS matmul + a lossless partial top-k (total order: cosine
+        # desc, neighbor_id asc). Corpus vectors never travel per-pair —
+        # the design that made the per-pair Arrow verify transfer-bound.
+        probe_rows = q_probe.join(
+            q.select("query_id", F.col("v").alias("qv")), "query_id"
+        ).collect()
+        by_cell: dict[int, list] = {}
+        for r in probe_rows:
+            qvec = np.asarray(r["qv"], dtype=np.float64)
+            qn = float(np.sqrt(qvec @ qvec))
+            if qn > 0:
+                by_cell.setdefault(int(r["cell"]), []).append(
+                    (r["query_id"], qvec / qn)
+                )
+        qid_t = queries.schema[id_col].dataType.simpleString()
+        cid_t = corpus.schema[id_col].dataType.simpleString()
+
+        def per_cell(key, pdf):  # untyped: pyspark warns on partial hints
+            entry = by_cell.get(int(key[0]))
+            empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+            if not entry or len(pdf) == 0:
+                return empty
+            nid = pdf["neighbor_id"].to_numpy()
+            vv = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", vv, vv))
+            ok = nrm > 0
+            nid, vv, nrm = nid[ok], vv[ok], nrm[ok]
+            if len(nid) == 0:
+                return empty
+            vv /= nrm[:, None]
+            qids = [qq for qq, _ in entry]
+            qm = np.asarray([qv for _, qv in entry])
+            sims = qm @ vv.T  # (nq_cell, n_cell)
+            out_q, out_n, out_c = [], [], []
+            kk = min(k, sims.shape[1])
+            for j, qid in enumerate(qids):
+                col = sims[j].copy()
+                col[nid == qid] = -np.inf  # self-pair exclusion
+                order = np.lexsort((nid, -col))[:kk]
+                order = order[np.isfinite(col[order])]
+                out_q.extend([qid] * len(order))
+                out_n.extend(nid[order])
+                out_c.extend(col[order])
+            return pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+        scored = corpus_cells.groupBy("cell").applyInPandas(
+            per_cell,
+            schema=f"query_id {qid_t}, neighbor_id {cid_t}, cosine double",
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

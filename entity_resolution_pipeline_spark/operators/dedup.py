@@ -266,23 +266,27 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs: band-bucket equi-join + signature verify.
+    """MinHash-LSH near-dup pairs: band buckets + per-bucket sig verify.
 
-    shingle -> md5-minhash -> band hash -> bucket equi-join; the band explode
-    turns the Jaccard θ-join into an equi-join (same trick as the ER blocking
-    stage). The (small: num_perm longs) signature rides along the bucket rows
-    so the sketch is computed once and never persisted; est_jaccard =
-    matching-component fraction, verified on the joined pair.
+    shingle -> md5-minhash -> band hash -> bucket grouping; the band explode
+    turns the Jaccard θ-join into bucket co-location (same trick as the ER
+    blocking stage). The (small: num_perm longs) signature rides the bucket
+    rows into ONE per-bucket Arrow kernel that compares every signature
+    pair with vectorized integer equality — no bucket self-join, no
+    O(bucket^2) distinct, and the sketch plan is consumed exactly once
+    (the previous join-back verify evaluated it three times per action
+    unless the caller persisted it). est_jaccard = matching-component
+    fraction — pure integer math, so the value is bit-identical however
+    many bands a pair shares; the final min-aggregation dedups multi-band
+    pairs deterministically. Kernel memory is O(bucket * num_perm) plus a
+    chunk x bucket count tile; a pathologically hot bucket needs narrower
+    bands upstream, the same constraint the join design had at
+    O(bucket^2) shuffle rows.
     """
+    import numpy as np
+    import pandas as pd
+
     rows = num_perm // bands
-    # sigs feed THREE plan branches (band explode + both verify join-backs),
-    # so the Arrow sketch kernel would run three times per action unless
-    # the caller materializes it: pass a persisted ``sigs`` frame (its
-    # lifecycle stays with the caller — this operator never persists
-    # internally, the no-cache-leak contract TestNoPersistLeaks pins).
-    # near_dup_clusters does exactly that; at 100 TB the sketch is the
-    # relation you'd write to its own table (num_perm longs per doc,
-    # ~1000x smaller than the documents).
     if sigs is None:
         sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
     band_arr = F.expr(
@@ -291,32 +295,68 @@ def minhash_lsh_pairs(
         f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
         f"x -> cast(x as string)), ','))))"
     )
-    # candidates shuffle BARE id pairs (16 bytes) — dup-heavy buckets explode
-    # O(bucket^2) rows pre-distinct, so signatures must NOT ride along; they
-    # are joined back onto the (much smaller) distinct pair set for the
-    # verify step. Costs one extra signature computation per side, wins big
-    # whenever buckets contain duplicate clusters.
-    banded = sigs.select("doc_id", F.explode(band_arr).alias("band"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(b, "band")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
-        .distinct()
+    banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("band"))
+    # One ROW per bucket (collect_list) with singleton buckets — the vast
+    # majority — dropped JVM-side. applyInPandas would build a pandas
+    # frame per GROUP: with ~one bucket per duplicate group that is tens
+    # of thousands of tiny Python invocations (measured 14-20 s at sf0.1
+    # vs ~3 s for everything else combined); batching bucket rows through
+    # ONE mapInPandas keeps the per-bucket cost at a numpy call.
+    buckets = (
+        banded.groupBy("band")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ms"))
+        .where(F.size("ms") >= 2)
     )
-    s1 = sigs.select(F.col("doc_id").alias("doc_id1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("doc_id2"), F.col("sig").alias("sig2"))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ).cast("double") / F.lit(float(num_perm))
-    return (
-        cands.join(s1, "doc_id1")
-        .join(s2, "doc_id2")
-        .select("doc_id1", "doc_id2", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= threshold)
+    thr = float(threshold)
+    npm = num_perm
+    id_t = sigs.schema["doc_id"].dataType.simpleString()
+    row_ch = 512
+
+    def run(batches):
+        from collections.abc import Iterator  # noqa: F401
+
+        for pdf in batches:
+            o1, o2, oe = [], [], []
+            for ms in pdf["ms"]:
+                m = len(ms)
+                ids = np.asarray([r["doc_id"] for r in ms])
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                sig = np.asarray(
+                    [ms[i]["sig"] for i in order.tolist()], dtype=np.int64
+                )
+                for s in range(0, m, row_ch):
+                    e = min(s + row_ch, m)
+                    cnt = np.zeros((e - s, m), dtype=np.int32)
+                    for p in range(npm):
+                        col = sig[:, p]
+                        cnt += col[s:e, None] == col[None, :]
+                    est = cnt / float(npm)
+                    ii, jj = np.nonzero(est >= thr)
+                    gi = ii + s
+                    keep = jj > gi
+                    if keep.any():
+                        o1.append(ids[gi[keep]])
+                        o2.append(ids[jj[keep]])
+                        oe.append(est[ii[keep], jj[keep]])
+            if not o1:
+                yield pd.DataFrame(
+                    {"doc_id1": [], "doc_id2": [], "est_jaccard": []}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id1": np.concatenate(o1),
+                    "doc_id2": np.concatenate(o2),
+                    "est_jaccard": np.concatenate(oe),
+                }
+            )
+
+    pairs = buckets.mapInPandas(
+        run, schema=f"doc_id1 {id_t}, doc_id2 {id_t}, est_jaccard double"
+    )
+    return pairs.groupBy("doc_id1", "doc_id2").agg(
+        F.min("est_jaccard").alias("est_jaccard")
     )
 
 
@@ -413,23 +453,16 @@ def near_dup_clusters(
     from .cluster import assign_clusters
 
     # Persist lifecycle lives HERE (operators stay cache-stateless, the
-    # TestNoPersistLeaks contract): the minhash sketch feeds three plan
-    # branches and CC consumes the edge set several more times (probe +
-    # union-find collect / star joins), so both are persisted for the
-    # duration of the clustering — then unpersisted before returning,
-    # which is safe because connected_components EAGERLY localCheckpoints
-    # its edge input: the returned frame's lineage no longer references
-    # the pair pipeline at all.
+    # TestNoPersistLeaks contract): CC consumes the pair set several
+    # times (probe + union-find collect / star joins), so it is persisted
+    # for the duration of the clustering — then unpersisted before
+    # returning, which is safe because connected_components EAGERLY
+    # localCheckpoints its edge input: the returned frame's lineage no
+    # longer references the pair pipeline at all. (The minhash sketch no
+    # longer needs its own persist: the per-bucket verify kernel consumes
+    # the signature plan exactly once per action.)
     to_unpersist = []
-    if method == "minhash":
-        sigs = minhash_signatures(
-            docs, text_col,
-            num_perm=kw.get("num_perm", 32), shingle_k=kw.get("shingle_k", 5),
-        ).persist()
-        to_unpersist.append(sigs)
-        pairs = minhash_lsh_pairs(docs, text_col, sigs=sigs, **kw)
-    else:
-        pairs = fns[method](docs, text_col, **kw)
+    pairs = fns[method](docs, text_col, **kw)
     pairs = pairs.persist()
     to_unpersist.append(pairs)
     edges = pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))

@@ -110,18 +110,32 @@ def brute_force_topk(
                 "neighbor_id",
                 (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
             )
+            # length-mismatched pairs (zip_with pads -> NULL dot) must
+            # drop, not rank with NULL cosines — keeps the jvm branch
+            # value-identical to the arrow branch's by-length grouping
+            .where(F.col("cosine").isNotNull())
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
         return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
+    # queries grouped by vector length (drop-don't-crash policy, see
+    # util.vec_matrix_groups): NULL/empty/zero-norm queries drop; a query
+    # only scores corpus vectors of ITS length (cosine across lengths is
+    # undefined — the old zip_with produced NULL there, never a match)
     qrows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
-    qvecs = [np.asarray(r[1], dtype=np.float64) for r in qrows]
-    qm = np.asarray(qvecs) if qrows else np.zeros((0, 0))
-    qn = np.sqrt(np.einsum("ij,ij->i", qm, qm)) if qrows else np.zeros(0)
-    keep = qn > 0
-    qm, qn = qm[keep], qn[keep]
-    qids = [r[0] for r, m in zip(qrows, keep) if m]
-    nq = len(qids)
+    q_by_len: dict[int, tuple[list, object, object]] = {}
+    for r in qrows:
+        if r[1] is None or len(r[1]) == 0:
+            continue
+        qvec = np.asarray(r[1], dtype=np.float64)
+        qnorm = float(np.sqrt(qvec @ qvec))
+        if qnorm > 0:
+            q_by_len.setdefault(len(r[1]), []).append((r[0], qvec / qnorm))
+    q_groups = {
+        length: ([qq for qq, _ in entries], np.asarray([v for _, v in entries]))
+        for length, entries in q_by_len.items()
+    }
+    nq = sum(len(g[0]) for g in q_groups.values())
 
     cid_t = corpus.schema[id_col].dataType.simpleString()
     qid_t = queries.schema[id_col].dataType.simpleString()
@@ -130,35 +144,34 @@ def brute_force_topk(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunk = 1024
+        from .util import vec_matrix_groups
+
         for pdf in batches:
             n = len(pdf)
             if n == 0 or nq == 0:
                 continue
-            cos = np.empty((n, nq))
-            cn = np.empty(n)
-            vs = pdf["v"]
-            for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                cc = np.asarray(vs.iloc[s:e].tolist(), dtype=np.float64)
-                np.einsum("ij,ij->i", cc, cc, out=cn[s:e])
-                np.matmul(cc, qm.T, out=cos[s:e])
-            np.sqrt(cn, out=cn)
-            ok = cn > 0
-            cn[~ok] = 1.0
-            cos /= cn[:, None]
-            cos /= qn[None, :]
-            cos[~ok, :] = -np.inf
-            nid = pdf["neighbor_id"].to_numpy()
+            nid_all = pdf["neighbor_id"].to_numpy()
             out_q, out_n, out_c = [], [], []
-            for j in range(nq):
-                col = cos[:, j].copy()
-                col[nid == qids[j]] = -np.inf  # self-pair exclusion
-                order = np.lexsort((nid, -col))[: min(k, n)]
-                order = order[np.isfinite(col[order])]
-                out_q.extend([qids[j]] * len(order))
-                out_n.extend(nid[order])
-                out_c.extend(col[order])
+            for sel, cc in vec_matrix_groups(pdf["v"].tolist()):
+                grp = q_groups.get(cc.shape[1])
+                if grp is None:
+                    continue
+                qids, qm = grp
+                cn = np.sqrt(np.einsum("ij,ij->i", cc, cc))
+                ok = cn > 0
+                nid = nid_all[sel][ok]
+                if len(nid) == 0:
+                    continue
+                cos = cc[ok] @ qm.T
+                cos /= cn[ok][:, None]
+                for j, qid in enumerate(qids):
+                    col = cos[:, j].copy()
+                    col[nid == qid] = -np.inf  # self-pair exclusion
+                    order = np.lexsort((nid, -col))[: min(k, len(nid))]
+                    order = order[np.isfinite(col[order])]
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(nid[order])
+                    out_c.extend(col[order])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
@@ -198,29 +211,35 @@ def pick_centroids(
     base = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv0"), h.alias("h")
     )
-    over = base.orderBy("h", "cid").limit(n_cells + 64)
-    cents = (
-        over.withColumn("cn0", _norm_col("cv0"))
-        .where(F.col("cn0") > 0)
-        .orderBy("h", "cid")
-        .limit(n_cells)
+    # ONE corpus-wide TakeOrdered job: over-fetch, compute norms on the
+    # tiny result only (projection applied after the limit), collect, and
+    # finish client-side. The collected literals also serve every
+    # downstream consumer (corpus assignment, query probe, Lloyd
+    # refinement, the arrow kernels' closure) without replaying the scan.
+    over_rows = (
+        base.orderBy("h", "cid")
+        .limit(n_cells + 64)
+        .withColumn("cn0", _norm_col("cv0"))
+        .collect()
     )
-    if cents.count() < min(n_cells, corpus.limit(n_cells).count()):
-        cents = (
+    saw_whole_corpus = len(over_rows) < n_cells + 64
+    good = [r for r in over_rows if r["cn0"] is not None and r["cn0"] > 0]
+    if len(good) < n_cells and not saw_whole_corpus:
+        # > 64 zero-norm rows among the smallest hashes (pathologically
+        # zero-vector-heavy corpus): exact full-scan fallback
+        good = (
             base.withColumn("cn0", _norm_col("cv0"))
             .where(F.col("cn0") > 0)
             .orderBy("h", "cid")
             .limit(n_cells)
+            .collect()
         )
-    w = Window.orderBy("h", "cid")
-    cents = cents.withColumn("cidx", F.row_number().over(w)).select("cidx", "cv0", "cn0")
-    # materialize the (tiny, <= n_cells rows) result and cut its lineage:
-    # the centroid table is consumed by several downstream plans (corpus
-    # assignment, query probe, Lloyd refinement, driver collect in the
-    # arrow kernels) and each would otherwise replay the corpus-wide hash
-    # TakeOrdered — n_cells rows as literals cost nothing to re-create.
-    rows = cents.collect()
-    return cents.sparkSession.createDataFrame(rows, cents.schema)
+    good = good[:n_cells]
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    return corpus.sparkSession.createDataFrame(
+        [(i + 1, list(r["cv0"]), float(r["cn0"])) for i, r in enumerate(good)],
+        schema=f"cidx int, cv0 {vec_t}, cn0 double",
+    )
 
 
 def _nearest_cells(
@@ -283,27 +302,42 @@ def _nearest_cells(
     vec_t = vecs.schema["v"].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunk = 1024
+        from .util import vec_matrix_groups
+
+        cdim = cm.shape[1] if nc else -1
         for pdf in batches:
             n = len(pdf)
             if n == 0 or nc == 0:
                 continue
-            sims = np.empty((n, nc))
-            vs = pdf["v"]
-            for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                vv = np.asarray(vs.iloc[s:e].tolist(), dtype=np.float64)
-                np.matmul(vv, cm.T, out=sims[s:e])
-            sims /= cn[None, :]
-            # stable sort on -sims: ties keep column order = ascending cidx
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            out = {
-                id_alias: np.repeat(pdf[id_alias].to_numpy(), kk),
-                "cell": cidx[order].ravel().astype(np.int32),
-            }
-            if passthrough_vec:
-                out["v"] = np.repeat(vs.to_numpy(), kk)
-            yield pd.DataFrame(out)
+            vals = pdf["v"].tolist()
+            ids_all = pdf[id_alias].to_numpy()
+            frames = []
+            # drop-don't-crash (util.vec_matrix_groups): NULL/empty rows
+            # and rows whose length differs from the centroids' can be
+            # near no centroid — they drop here, exactly as the verify
+            # stage would have dropped them later
+            for sel, vv in vec_matrix_groups(vals):
+                if vv.shape[1] != cdim:
+                    continue
+                sims = vv @ cm.T
+                sims /= cn[None, :]
+                # stable sort on -sims: ties keep column order = asc cidx
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                out = {
+                    id_alias: np.repeat(ids_all[sel], kk),
+                    "cell": cidx[order].ravel().astype(np.int32),
+                }
+                if passthrough_vec:
+                    # 1-D object array of array refs (a plain asarray of
+                    # equal-length vectors would build a 2-D matrix and
+                    # np.repeat would then flatten it)
+                    vrefs = np.empty(len(sel), dtype=object)
+                    for oi, i in enumerate(sel.tolist()):
+                        vrefs[oi] = vals[i]
+                    out["v"] = np.repeat(vrefs, kk)
+                frames.append(pd.DataFrame(out))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     schema = f"{id_alias} {id_t}, cell int"
     if passthrough_vec:
@@ -413,19 +447,26 @@ def ivf_topk(
     q_probe = _nearest_cells(q, cents, "query_id", nprobe, strategy)
 
     if strategy == "jvm":
-        qv = q.select("query_id", F.col("v").alias("qv"))
+        # norms computed ONCE per row frame before the cell join (a corpus
+        # vector probed by q queries would otherwise evaluate the
+        # interpreted O(dim) norm aggregate per candidate pair)
+        qv = q.select(
+            "query_id", F.col("v").alias("qv"), _norm_col("v").alias("qn")
+        ).where(F.col("qn") > 0)
+        cc = corpus_cells.select(
+            "neighbor_id", "cell", F.col("v").alias("cv"),
+            _norm_col("v").alias("cn"),
+        ).where(F.col("cn") > 0)
         cand = (
             F.broadcast(q_probe.join(qv, "query_id"))
-            .join(corpus_cells.withColumnRenamed("v", "cv"), "cell")
+            .join(cc, "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
         )
-        n1, n2 = _norm_col("qv"), _norm_col("cv")
         scored = cand.select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (n1 * n2)).alias("cosine"),
-            n1.alias("_n1"), n2.alias("_n2"),
-        ).where((F.col("_n1") > 0) & (F.col("_n2") > 0)).drop("_n1", "_n2")
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        ).where(F.col("cosine").isNotNull())  # drop length-mismatched pairs
     else:
         # Per-CELL gram scoring: the probe lists + query vectors are small
         # and bounded by contract, so they ship in the kernel closure
@@ -437,43 +478,54 @@ def ivf_topk(
         probe_rows = q_probe.join(
             q.select("query_id", F.col("v").alias("qv")), "query_id"
         ).collect()
-        by_cell: dict[int, list] = {}
+        # {cell: {dim: (qids, normalized Q matrix)}} — queries grouped by
+        # length so a degenerate/ragged query can never crash the kernel
+        # (drop-don't-crash, util.vec_matrix_groups policy): NULL/empty/
+        # zero-norm queries drop; a query scores only same-length corpus
+        by_cell: dict[int, dict[int, list]] = {}
         for r in probe_rows:
+            if r["qv"] is None or len(r["qv"]) == 0:
+                continue
             qvec = np.asarray(r["qv"], dtype=np.float64)
             qn = float(np.sqrt(qvec @ qvec))
             if qn > 0:
-                by_cell.setdefault(int(r["cell"]), []).append(
-                    (r["query_id"], qvec / qn)
-                )
+                by_cell.setdefault(int(r["cell"]), {}).setdefault(
+                    len(r["qv"]), []
+                ).append((r["query_id"], qvec / qn))
         qid_t = queries.schema[id_col].dataType.simpleString()
         cid_t = corpus.schema[id_col].dataType.simpleString()
 
         def per_cell(key, pdf):  # untyped: pyspark warns on partial hints
+            from .util import vec_matrix_groups
+
             entry = by_cell.get(int(key[0]))
             empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
             if not entry or len(pdf) == 0:
                 return empty
-            nid = pdf["neighbor_id"].to_numpy()
-            vv = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-            nrm = np.sqrt(np.einsum("ij,ij->i", vv, vv))
-            ok = nrm > 0
-            nid, vv, nrm = nid[ok], vv[ok], nrm[ok]
-            if len(nid) == 0:
-                return empty
-            vv /= nrm[:, None]
-            qids = [qq for qq, _ in entry]
-            qm = np.asarray([qv for _, qv in entry])
-            sims = qm @ vv.T  # (nq_cell, n_cell)
+            nid_all = pdf["neighbor_id"].to_numpy()
             out_q, out_n, out_c = [], [], []
-            kk = min(k, sims.shape[1])
-            for j, qid in enumerate(qids):
-                col = sims[j].copy()
-                col[nid == qid] = -np.inf  # self-pair exclusion
-                order = np.lexsort((nid, -col))[:kk]
-                order = order[np.isfinite(col[order])]
-                out_q.extend([qid] * len(order))
-                out_n.extend(nid[order])
-                out_c.extend(col[order])
+            for sel, vv in vec_matrix_groups(pdf["v"].tolist(), chunk=None):
+                grp = entry.get(vv.shape[1])
+                if grp is None:
+                    continue
+                nrm = np.sqrt(np.einsum("ij,ij->i", vv, vv))
+                ok = nrm > 0
+                nid, vv2 = nid_all[sel][ok], vv[ok]
+                if len(nid) == 0:
+                    continue
+                vv2 /= nrm[ok][:, None]
+                qids = [qq for qq, _ in grp]
+                qm = np.asarray([qvn for _, qvn in grp])
+                sims = qm @ vv2.T  # (nq_cell, n_cell)
+                kk = min(k, sims.shape[1])
+                for j, qid in enumerate(qids):
+                    col = sims[j].copy()
+                    col[nid == qid] = -np.inf  # self-pair exclusion
+                    order = np.lexsort((nid, -col))[:kk]
+                    order = order[np.isfinite(col[order])]
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(nid[order])
+                    out_c.extend(col[order])
             return pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )

@@ -487,8 +487,11 @@ def _cosine_verify_arrow(pairs_with_vecs: DataFrame, threshold: float) -> DataFr
     interpreted ``F.aggregate(F.zip_with(...))`` kernel (Spark evaluates
     higher-order lambdas per element, boxed — ~dim multiplies per row in
     the interpreter); here each Arrow batch is a handful of numpy einsum
-    calls. Rows where either vector has zero norm are dropped (cosine
-    undefined), matching the former ``nrm > 0`` pre-filter.
+    calls. Degenerate rows DROP instead of crashing the task — the same
+    policy the old JVM expressions had implicitly: NULL/empty vectors,
+    length-mismatched pairs, and zero norms are skipped; NULL elements
+    arrive as NaN and fail the threshold comparison naturally (see
+    util.vec_matrix_groups for the policy rationale).
 
     Chunked at a few MB so temporaries recycle through the allocator
     freelist (fresh large allocations pay first-touch faults on this VM).
@@ -508,27 +511,36 @@ def _cosine_verify_arrow(pairs_with_vecs: DataFrame, threshold: float) -> DataFr
             n = len(pdf)
             if n == 0:
                 continue
-            dot = np.empty(n)
-            n1 = np.empty(n)
-            n2 = np.empty(n)
-            v1s, v2s = pdf["v1"], pdf["v2"]
-            for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                a = np.asarray(v1s.iloc[s:e].tolist(), dtype=np.float64)
-                b = np.asarray(v2s.iloc[s:e].tolist(), dtype=np.float64)
-                np.einsum("ij,ij->i", a, b, out=dot[s:e])
-                np.einsum("ij,ij->i", a, a, out=n1[s:e])
-                np.einsum("ij,ij->i", b, b, out=n2[s:e])
-            denom = np.sqrt(n1)
-            denom *= np.sqrt(n2)
-            ok = denom > 0
-            cos = np.divide(dot, denom, out=dot, where=ok)
-            keep = ok & (cos >= thr)
+            v1, v2 = pdf["v1"].tolist(), pdf["v2"].tolist()
+            by_len: dict[int, list[int]] = {}
+            for i in range(n):
+                a, b = v1[i], v2[i]
+                if a is not None and b is not None and len(a) == len(b) > 0:
+                    by_len.setdefault(len(a), []).append(i)
+            out_idx, out_cos = [], []
+            for _length, idx in sorted(by_len.items()):
+                for s in range(0, len(idx), chunk):
+                    sub = idx[s:s + chunk]
+                    a = np.asarray([v1[i] for i in sub], dtype=np.float64)
+                    b = np.asarray([v2[i] for i in sub], dtype=np.float64)
+                    dot = np.einsum("ij,ij->i", a, b)
+                    denom = np.sqrt(np.einsum("ij,ij->i", a, a))
+                    denom *= np.sqrt(np.einsum("ij,ij->i", b, b))
+                    ok = denom > 0
+                    cos = np.divide(dot, denom, out=dot, where=ok)
+                    keep = ok & (cos >= thr)
+                    if keep.any():
+                        out_idx.append(np.asarray(sub, dtype=np.int64)[keep])
+                        out_cos.append(cos[keep])
+            if not out_idx:
+                yield pd.DataFrame({"doc_id1": [], "doc_id2": [], "cosine": []})
+                continue
+            sel = np.concatenate(out_idx)
             yield pd.DataFrame(
                 {
-                    "doc_id1": pdf["doc_id1"].to_numpy()[keep],
-                    "doc_id2": pdf["doc_id2"].to_numpy()[keep],
-                    "cosine": cos[keep],
+                    "doc_id1": pdf["doc_id1"].to_numpy()[sel],
+                    "doc_id2": pdf["doc_id2"].to_numpy()[sel],
+                    "cosine": np.concatenate(out_cos),
                 }
             )
 
@@ -559,57 +571,80 @@ def _block_gram_pairs(
 
     Ids are sorted inside the kernel, so output orientation is canonical
     (doc_id1 < doc_id2) and results are partitioning-invariant (fixed
-    chunk sizes -> identical BLAS shapes -> identical floats). Zero-norm
-    vectors are dropped (cosine undefined). Memory per task is
-    O(n_b * dim): a pathologically hot block needs upstream splitting,
-    the same constraint the band-join design had at O(n_b^2) rows.
+    chunk sizes -> identical BLAS shapes -> identical floats). Degenerate
+    vectors drop per util.vec_matrix_groups' policy (NULL/empty/zero-norm
+    skipped; only same-length vectors compare; NULL elements arrive as
+    NaN and fail every threshold test). Memory per task is O(n_b * dim):
+    a pathologically hot block needs upstream splitting, the same
+    constraint the band-join design had at O(n_b^2) rows.
+
+    Buckets are gathered with collect_list and SINGLETON BLOCKS — the
+    vast majority under fine blocking — are dropped JVM-side, then one
+    mapInPandas processes many buckets per Arrow batch: per-GROUP
+    applyInPandas pays a pandas-frame build per bucket, which measured
+    as 14-20 s of pure Python overhead at sf0.1 on the minhash twin of
+    this kernel when buckets number in the tens of thousands.
     """
     import numpy as np
     import pandas as pd
+
+    from .util import vec_matrix_groups
 
     thr = float(threshold)
     id_t = rows.schema[id_col].dataType.simpleString()
     row_ch, col_ch = 512, 4096
 
-    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        o1, o2, oc = [], [], []
-        if m >= 2:
-            ids = pdf[id_col].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            vv = np.asarray(pdf[vec_col].to_numpy()[order].tolist(), dtype=np.float64)
-            nrm = np.sqrt(np.einsum("ij,ij->i", vv, vv))
-            ok = nrm > 0
-            ids, vv, nrm = ids[ok], vv[ok], nrm[ok]
-            vv /= nrm[:, None]
-            m = len(ids)
-            for s in range(0, m, row_ch):
-                e = min(s + row_ch, m)
-                for t in range(s, m, col_ch):
-                    u = min(t + col_ch, m)
-                    sim = vv[s:e] @ vv[t:u].T
-                    # hits collected on the whole 2-D tile at once: dense
-                    # near-dup blocks would choke a per-row Python loop
-                    ii, jj = np.nonzero(sim >= thr)
-                    gi, gj = ii + s, jj + t
-                    keep = gj > gi
-                    if keep.any():
-                        o1.append(ids[gi[keep]])
-                        o2.append(ids[gj[keep]])
-                        oc.append(sim[ii[keep], jj[keep]])
-        if not o1:
-            return pd.DataFrame({"doc_id1": [], "doc_id2": [], "cosine": []})
-        return pd.DataFrame(
-            {
-                "doc_id1": np.concatenate(o1),
-                "doc_id2": np.concatenate(o2),
-                "cosine": np.concatenate(oc),
-            }
-        )
+    buckets = (
+        rows.groupBy(block_col)
+        .agg(F.collect_list(F.struct(id_col, vec_col)).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
 
-    return rows.groupBy(block_col).applyInPandas(
-        per_block, schema=f"doc_id1 {id_t}, doc_id2 {id_t}, cosine double"
+    def run(batches):
+        for pdf in batches:
+            o1, o2, oc = [], [], []
+            for ms in pdf["ms"]:
+                ids_all = np.asarray([r[id_col] for r in ms])
+                order = np.argsort(ids_all, kind="stable")
+                ids_all = ids_all[order]
+                vecs_sorted = [ms[i][vec_col] for i in order.tolist()]
+                # chunk=None: the gram tiling below needs every same-length
+                # row of the bucket in ONE matrix (bucket sizes are bounded)
+                for sel, vv in vec_matrix_groups(vecs_sorted, chunk=None):
+                    nrm = np.sqrt(np.einsum("ij,ij->i", vv, vv))
+                    ok = nrm > 0
+                    ids, vv = ids_all[sel][ok], vv[ok]
+                    m = len(ids)
+                    if m < 2:
+                        continue
+                    vv /= nrm[ok][:, None]
+                    for s in range(0, m, row_ch):
+                        e = min(s + row_ch, m)
+                        for t in range(s, m, col_ch):
+                            u = min(t + col_ch, m)
+                            sim = vv[s:e] @ vv[t:u].T
+                            # hits collected on the whole 2-D tile: dense
+                            # near-dup blocks choke a per-row Python loop
+                            hi, hj = np.nonzero(sim >= thr)
+                            gi, gj = hi + s, hj + t
+                            keep = gj > gi
+                            if keep.any():
+                                o1.append(ids[gi[keep]])
+                                o2.append(ids[gj[keep]])
+                                oc.append(sim[hi[keep], hj[keep]])
+            if not o1:
+                yield pd.DataFrame({"doc_id1": [], "doc_id2": [], "cosine": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id1": np.concatenate(o1),
+                    "doc_id2": np.concatenate(o2),
+                    "cosine": np.concatenate(oc),
+                }
+            )
+
+    return buckets.mapInPandas(
+        run, schema=f"doc_id1 {id_t}, doc_id2 {id_t}, cosine double"
     )
 
 
@@ -643,8 +678,10 @@ def embedding_lsh_pairs(
     import numpy as np
     import pandas as pd
 
-    dim_row = emb.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
+    # max over the table (not first()): the first row could be a NULL or
+    # empty vector, which must not define the hyperplane dimensionality
+    dim_row = emb.select(F.max(F.size(vec_col)).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None or int(dim_row["d"]) <= 0:
         return embedding_cosine_pairs(emb, threshold, id_col, vec_col, block_col=None)
     dim = int(dim_row["d"])
     planes = np.random.RandomState(seed).randn(n_planes, dim)
@@ -652,19 +689,37 @@ def embedding_lsh_pairs(
     vec_t = emb.schema[vec_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .util import vec_matrix_groups
+
         md5 = hashlib.md5
         for pdf in batches:
-            vv = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bits = (vv @ planes.T) >= 0  # (n, n_planes) sign bits
+            vals = pdf[vec_col].tolist()
+            ids = pdf[id_col].tolist()
             out_ids, out_bands, out_vecs = [], [], []
-            for rid, vec, brow in zip(pdf[id_col], pdf[vec_col], bits):
-                for b in range(bands):
-                    chunk = brow[b * rows_per_band:(b + 1) * rows_per_band]
-                    key = f"{b}:" + "".join("1" if x else "0" for x in chunk)
-                    out_ids.append(rid)
-                    out_bands.append(md5(key.encode()).hexdigest())
-                    out_vecs.append(vec)
-            yield pd.DataFrame({"id": out_ids, "band": out_bands, "v": out_vecs})
+            # NULL/empty/wrong-length vectors can't be hashed against the
+            # dim-sized hyperplanes: they drop here and so can never be
+            # candidates (drop-don't-crash, see util.vec_matrix_groups)
+            for sel, vv in vec_matrix_groups(vals):
+                if vv.shape[1] != dim:
+                    continue
+                bits = (vv @ planes.T) >= 0  # (n, n_planes) sign bits
+                for k_i, brow in zip(sel.tolist(), bits):
+                    for b in range(bands):
+                        chunk = brow[b * rows_per_band:(b + 1) * rows_per_band]
+                        key = f"{b}:" + "".join("1" if x else "0" for x in chunk)
+                        out_ids.append(ids[k_i])
+                        out_bands.append(md5(key.encode()).hexdigest())
+                        out_vecs.append(vals[k_i])
+            yield pd.DataFrame(
+                {
+                    "id": out_ids,
+                    "band": out_bands,
+                    # object dtype: an all-dropped batch would otherwise
+                    # yield an empty float64 column, which Arrow cannot
+                    # convert to list<float>
+                    "v": pd.Series(out_vecs, dtype=object),
+                }
+            )
 
     src = ensure_parallelism(emb.select(id_col, vec_col))
     buckets = src.mapInPandas(run, schema=f"id long, band string, v {vec_t}")

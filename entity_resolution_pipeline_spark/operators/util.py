@@ -24,6 +24,52 @@ def md5_hash60(c: Column | str) -> Column:
 MD5_HASH60_SQL = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
+def vec_matrix_groups(values, chunk: int | None = 1024):
+    """Group a sequence of vectors (ndarray | list | None) by length and
+    yield ``(row_indices, float64 matrix)`` per positive length, split
+    into <= ``chunk`` rows per yield (None = whole group: for kernels
+    that need every same-length row in one matrix, e.g. gram pairs).
+    Chunking keeps each temporary at a few MB so repeated allocations
+    recycle through the allocator freelist — fresh 100 MB matrices per
+    Arrow batch would pay ~0.5 ms/page first-touch faults on this VM.
+
+    The shared NULL/ragged-input policy for every vectorized Arrow kernel
+    (cosine verify, gram pairs, ANN scoring): a degenerate row must DROP —
+    the behavior of the former JVM ``aggregate(zip_with(...))`` plans,
+    where a NULL vector or a length mismatch made the whole expression
+    NULL and the comparison filter false — never crash the task with
+    numpy's ragged-array TypeError. Concretely:
+
+    - row is None / empty -> skipped (cosine undefined);
+    - rows of different lengths -> separate groups (only same-length
+      vectors are comparable; a kernel scoring against a fixed query/
+      centroid matrix uses only the group matching that matrix's dim);
+    - NULL *elements* arrive from Arrow as NaN inside a float array, so
+      any similarity involving them is NaN and fails every >=-threshold
+      or top-k comparison naturally — no special-casing needed.
+
+    The common case (every vector the same length) costs one O(rows)
+    length scan and a single asarray.
+    """
+    import numpy as np
+
+    lens: dict[int, list[int]] = {}
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        n = len(v)
+        if n > 0:
+            lens.setdefault(n, []).append(i)
+    for _n, idx in sorted(lens.items()):
+        step = chunk or len(idx)
+        for s in range(0, len(idx), step):
+            sub = idx[s:s + step]
+            yield (
+                np.asarray(sub, dtype=np.int64),
+                np.asarray([values[i] for i in sub], dtype=np.float64),
+            )
+
+
 def uuid5_col(c: Column | str, namespace: str = "url") -> Column:
     """RFC 4122 UUIDv5 of a string column, as JVM expressions (F13).
 

@@ -148,6 +148,28 @@ class Catalog:
             cols.append(subdirs[0].split("=", 1)[0])
             cur = os.path.join(cur, subdirs[0])
 
+    def _partition_leaf_sizes(self, name: str, n_cols: int) -> dict[tuple, int]:
+        """On-disk bytes per partition-value tuple (string form, hive
+        unescaped), from the same dir walk compact() already does."""
+        from urllib.parse import unquote
+
+        p = self.path(name)
+        out: dict[tuple, int] = {}
+        for r, _dirs, fs in os.walk(p):
+            pq = [f for f in fs if f.endswith(".parquet")]
+            if not pq:
+                continue
+            vals = tuple(
+                unquote(seg.split("=", 1)[1])
+                for seg in os.path.relpath(r, p).split(os.sep)
+                if "=" in seg
+            )
+            if len(vals) == n_cols:
+                out[vals] = out.get(vals, 0) + sum(
+                    os.path.getsize(os.path.join(r, f)) for f in pq
+                )
+        return out
+
     def compact(self, name: str, target_file_mb: int = 256) -> int:
         """Rewrite a table into ~target-sized files; returns the new file
         count. The Iceberg ``rewrite_data_files`` analogue: a streaming
@@ -173,10 +195,46 @@ class Catalog:
         part_cols = self.partition_columns(name)
         df = self.read(name)
         if part_cols:
-            # hash-distribute on the partition columns: each task holds
-            # whole partition values, so output is ~1 file per partition
-            # value (more tasks only if sizing demands them).
-            df = df.repartition(max(n_files, 1), *part_cols)
+            # Distribute on (partition columns + per-value salt): hashing
+            # on the partition columns alone can never split one value's
+            # rows across tasks, so a 10 GB partition value would come
+            # back as a single 10 GB file regardless of target size. The
+            # salt range per value = ceil(value_bytes / target) (from the
+            # dir walk already done), joined in via a broadcast map —
+            # values already at target size keep salt range 1 (one file),
+            # oversized values split into ~target-sized files.
+            from pyspark.sql import functions as F2  # noqa: N812
+
+            sizes = self._partition_leaf_sizes(name, len(part_cols))
+            tgt = target_file_mb * 1024 * 1024
+            splits = {k: max(1, round(b / tgt)) for k, b in sizes.items()}
+            if all(s == 1 for s in splits.values()):
+                df = df.repartition(max(min(n_files, len(splits) or 1), 1),
+                                    *part_cols)
+            else:
+                sdf = self.spark.createDataFrame(
+                    [(*k, s) for k, s in splits.items()],
+                    schema=", ".join(
+                        [f"__pv_{c} string" for c in part_cols] + ["__splits int"]
+                    ),
+                )
+                cond = [
+                    df[c].cast("string").eqNullSafe(sdf[f"__pv_{c}"])
+                    for c in part_cols
+                ]
+                df = (
+                    df.join(F2.broadcast(sdf), cond, "left")
+                    .withColumn(
+                        "__salt",
+                        F2.pmod(
+                            F2.xxhash64(F2.monotonically_increasing_id()),
+                            F2.coalesce(F2.col("__splits"), F2.lit(1)),
+                        ),
+                    )
+                    .repartition(max(n_files, 1), *part_cols, "__salt")
+                    .drop("__salt", "__splits",
+                          *[f"__pv_{c}" for c in part_cols])
+                )
         else:
             df = df.coalesce(n_files)
         staging = name + "__staging"

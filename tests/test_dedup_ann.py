@@ -822,3 +822,63 @@ class TestEmbeddingDiagnostics:
         assert rn["n"] == 40
         assert abs(rn["mean"] - nrm.mean()) < 1e-9
         assert abs(rn["std"] - nrm.std()) < 1e-9
+
+
+class TestDegenerateVectors:
+    """Self-review r5: NULL / empty / wrong-length embedding rows must
+    DROP from every vectorized kernel — the old interpreted JVM
+    expressions nulled them out silently; numpy's ragged-array TypeError
+    crashing the whole task is a regression. Each operator must return
+    exactly its clean-input results with degenerate rows mixed in."""
+
+    def _emb(self, spark, n=60, d=8):
+        rng = np.random.RandomState(11)
+        rows = [(i, rng.randn(d).astype(float).tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _degenerate(self, spark, start):
+        rows = [
+            (start, None),               # NULL vector
+            (start + 1, []),             # empty vector
+            (start + 2, [1.0, 2.0]),     # wrong length (vs d=8)
+            (start + 3, [0.0] * 8),      # zero norm
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_embedding_pair_ops_drop_degenerates(self, spark):
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            embedding_cosine_pairs,
+            embedding_lsh_pairs,
+        )
+
+        clean = self._emb(spark)
+        mixed = clean.unionByName(self._degenerate(spark, 1000))
+        blk = (F.col("vec_id") % 5).cast("string")
+        for fn in (
+            lambda e: embedding_cosine_pairs(e.withColumn("blk", blk),
+                                             threshold=0.2, block_col="blk"),
+            lambda e: embedding_cosine_pairs(e, threshold=0.2),
+            lambda e: embedding_lsh_pairs(e, threshold=0.2, n_planes=8, bands=2),
+        ):
+            want = {(r["doc_id1"], r["doc_id2"]) for r in fn(clean).collect()}
+            got = {(r["doc_id1"], r["doc_id2"]) for r in fn(mixed).collect()}
+            assert got == want
+            assert all(i < 1000 for pair in got for i in pair)
+
+    def test_ann_ops_drop_degenerates(self, spark):
+        clean = self._emb(spark, n=80)
+        mixed = clean.unionByName(self._degenerate(spark, 1000))
+        q_clean = clean.where(F.col("vec_id") < 3)
+        q_mixed = mixed.where(
+            (F.col("vec_id") < 3) | (F.col("vec_id") >= 1000)
+        )
+        for strat in ("jvm", "arrow"):
+            for op, kw in ((brute_force_topk, {}),
+                           (ivf_topk, {"n_cells": 6, "nprobe": 3})):
+                want = {(r["query_id"], r["neighbor_id"], r["rank"])
+                        for r in op(clean, q_clean, k=5, strategy=strat,
+                                    **kw).collect()}
+                got = {(r["query_id"], r["neighbor_id"], r["rank"])
+                       for r in op(mixed, q_mixed, k=5, strategy=strat,
+                                   **kw).collect()}
+                assert got == want, (op.__name__, strat)

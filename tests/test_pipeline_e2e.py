@@ -608,3 +608,42 @@ def test_confirmed_min_estimator():
     assert bench._confirmed_min([6.709, 6.71, 7.93]) == 6.709
     assert bench._confirmed_min([5.0]) == 5.0
     assert bench._confirmed_min([10.0, 20.0]) == 10.0
+
+
+def test_catalog_compact_splits_oversized_partition(spark, tmp_path_factory):
+    """Self-review r5: hashing on the partition columns alone can never
+    split one value's rows across tasks — an oversized partition value
+    came back as a single giant file. compact() must salt oversized
+    values into ~target-sized files while keeping small values at one
+    file and all rows intact."""
+    import os as _os
+
+    from entity_resolution_pipeline_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path_factory.mktemp("compact_split_wh"))
+    cat = Catalog(spark, wh)
+    big = spark.range(60000).select(
+        "id", F.lit("big").alias("part"),
+        F.repeat(F.md5(F.col("id").cast("string")), 6).alias("payload"),
+    )
+    small = spark.range(200).select(
+        (F.col("id") + 1_000_000).alias("id"), F.lit("small").alias("part"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    cat.write(big.unionByName(small), "t", partition_by=["part"])
+    n_rows_before = cat.read("t").count()
+    sizes = cat._partition_leaf_sizes("t", 1)
+    assert sizes[("big",)] > 2 * 1024 * 1024  # premise: big value >> target
+
+    cat.compact("t", target_file_mb=1)
+
+    def files_in(part):
+        d = _os.path.join(cat.path("t"), f"part={part}")
+        return [f for f in _os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in("big")) >= 2, "oversized value not split"
+    assert len(files_in("small")) == 1
+    assert cat.read("t").count() == n_rows_before
+    assert cat.partition_columns("t") == ["part"]
+    # no helper columns leaked into the data
+    assert not any(c.startswith("__") for c in cat.read("t").columns)

@@ -400,10 +400,19 @@ def louvain_clusters(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
     Each round, every node moves to the neighbor community with the best
     modularity gain dQ ~ k_in(c) - k_i * tot(c\\i) / 2m (evaluated for all
     neighbor communities plus staying put), ties -> smallest community id;
-    rounds repeat until no node moves or ``max_iterations``. Synchronous
-    moves make this an approximation of sequential Louvain (documented);
-    communities are relabeled to their min member for stable ids.
-    Returns (node, community).
+    rounds repeat until no node moves for two consecutive rounds (both
+    parities quiescent) or ``max_iterations``. Synchronous moves make this
+    an approximation of sequential Louvain (documented); to break the
+    two-node oscillations synchronous updates are prone to (a pair that
+    each jump to the other's community every round), only about half the
+    nodes may move in any one round, selected by bit ``round % 32`` of
+    ``xxhash64(node)`` — a DIFFERENT bit each round, so any flip-flopping
+    pair lands in different mover sets within a few rounds and resolves
+    sequentially. The damping is deterministic, so results are stable
+    run-to-run (pytest-pinned fixtures). Convergence = no node wants to
+    move (checked before masking, so the mover-set choice cannot fake
+    quiescence). Communities are relabeled to their min member for stable
+    ids. Returns (node, community).
     """
     sym = edges.select("src", "dst", "weight").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
@@ -413,7 +422,7 @@ def louvain_clusters(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
     labels = deg.select(F.col("src").alias("node"), F.col("src").alias("community"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         lbl_dst = labels.select(F.col("node").alias("dst"), F.col("community"))
         # weight from each node to each neighbor community
         k_in = (
@@ -446,20 +455,31 @@ def louvain_clusters(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
         from pyspark.sql import Window
 
         w = Window.partitionBy("src").orderBy(F.desc("gain"), F.asc("community"))
-        new_labels = (
+        best = (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "community")
+            .select(F.col("src").alias("node"), F.col("community").alias("best_c"))
+        )
+        joined = best.join(labels, "node").localCheckpoint(eager=True)
+        # true fixpoint probe BEFORE masking: does ANY node want to move?
+        wants = (
+            joined.where(F.col("best_c") != F.col("community")).limit(1).count()
+        )
+        if wants == 0:
+            break
+        # damping: bit (it % 32) of the node hash gates movers this round
+        may_move = (
+            F.pmod(F.shiftright(F.xxhash64("node"), it % 32), F.lit(2)) == 0
+        )
+        labels = (
+            joined.select(
+                "node",
+                F.when(may_move, F.col("best_c"))
+                .otherwise(F.col("community"))
+                .alias("community"),
+            )
             .localCheckpoint(eager=True)
         )
-        moved = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .where(F.col("n.community") != F.col("o.community"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if moved == 0:
-            break
 
     # stable ids: min member node per community
     reps = labels.groupBy("community").agg(F.min("node").alias("cid"))

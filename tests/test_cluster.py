@@ -219,3 +219,57 @@ def test_louvain_splits_bridged_cliques(spark):
     assert m["a0"] == m["a1"] == m["a2"] == m["a3"]
     assert m["b0"] == m["b1"] == m["b2"] == m["b3"]
     assert m["a0"] != m["b0"]
+
+
+def test_hierarchical_pinned_average_linkage_fixture(spark):
+    """Determinism pin (VERDICT r4 task 7): fixed graph, EXACT memberships.
+
+    The fixture distinguishes average linkage from single linkage: after
+    {a,b} (dist .1) and {c,d} (dist .15) merge, the b-c bridge (dist .4)
+    is under the .5 cut, but the AVERAGE inter-cluster distance
+    (1+1+.4+1)/4 = .85 is over it — average linkage stops, single linkage
+    would collapse everything. A refactor that changes linkage, tie-break,
+    or the missing-edge=distance-1 convention flips the pinned mapping.
+    """
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        hierarchical_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("c", "d", 0.85), ("b", "c", 0.6)],
+        "src string, dst string, weight double",
+    )
+    expected = {"a": "a", "b": "a", "c": "c", "d": "c"}
+    for _ in range(2):  # run-to-run determinism
+        got = {r["node"]: r["cluster_id"]
+               for r in hierarchical_clusters(edges, threshold=0.5).collect()}
+        assert got == expected
+
+
+def test_louvain_pinned_fixture(spark):
+    """Determinism pin (VERDICT r4 task 7): fixed weighted graph, EXACT
+    (node -> community) mapping, stable across repeated runs.
+
+    Two 1.0-weight triangles bridged by a 0.1 edge must settle to exactly
+    {a0,a1,a2} -> a0 and {b0,b1,b2} -> b0 (min-member relabel). Pins the
+    synchronous-move semantics, the dQ formula, and the
+    ties->smallest-community tie-break.
+    """
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        louvain_clusters,
+    )
+
+    rows = []
+    for grp in ("a", "b"):
+        ids = [f"{grp}{i}" for i in range(3)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                rows.append((ids[i], ids[j], 1.0))
+    rows.append(("a0", "b0", 0.1))
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+    expected = {"a0": "a0", "a1": "a0", "a2": "a0",
+                "b0": "b0", "b1": "b0", "b2": "b0"}
+    for _ in range(2):
+        got = {r["node"]: r["community"]
+               for r in louvain_clusters(edges).collect()}
+        assert got == expected

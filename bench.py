@@ -25,12 +25,15 @@ Scaling-measurement design (sandbox realities; round-2 rework):
   samples (a co-tenant holds ~9 of the 32 advertised CPUs).
 - both workers (2-core and 8-core JVMs, disjoint CPU sets) stay alive with
   the input cached. Each round runs a CONCURRENT pair — both levels timed
-  in the same wall-clock window (8-core side does round(warm2/warm8) x
-  passes so the spans coincide), so a one-sided co-tenant storm cannot
-  fake sublinearity — followed by a cheap solo 8-core rep. Criterion =
-  max(sequential confirmed-min estimate, median pair ratio); both
-  estimators are only deflatable by interference (pair's 8c side carries
-  4-10% self-contention, quiet-box A/B'd; its 2c side is unaffected).
+  in the same wall-clock window (8-core side does ceil(warm2/warm8) x
+  passes so its span COVERS the 2-core span; any unshared tail is 8c-only
+  and can only deflate the ratio), so a one-sided co-tenant storm cannot
+  fake sublinearity — followed by a cheap solo 8-core rep, plus one solo
+  2-core rep at the end (budget permitting) so neighbor-induced 2c
+  slowdown cannot inflate the ratio either. Criterion = max(sequential
+  confirmed-min estimate, lower-median pair ratio); both estimators are
+  only deflatable by interference (pair's 8c side carries 4-10%
+  self-contention, quiet-box A/B'd; its 2c side measured unaffected).
 - the measured job is `passes` scoring Arrow passes over a pre-materialized,
   pre-partitioned, cached distinct-tuples parquet; `passes` is calibrated
   from the 2-core warm-up so the 2-core wall is >= ~45 s (small walls are
@@ -584,7 +587,13 @@ def main():
         conc8 = []                    # accepted 8c per-pass walls from pairs
         pair_effs = []                # accepted same-window ratios
         all_reps = {2: [], 8: [], "8conc": []}  # (wall, steal, util, ok)
-        k8 = max(1, round(warm2 / max(warm8, 0.5)))  # pair window matcher
+        # pair window matcher: CEIL so the 8c span covers the whole 2c span
+        # (round() could leave a 2c-only tail where an accounting-invisible
+        # storm slows only the denominator and inflates the pair ratio; an
+        # 8c-only tail can only deflate it)
+        import math
+
+        k8 = max(1, math.ceil(warm2 / max(warm8, 0.5)))
 
         def converged(ws):
             if len(ws) < min_reps:
@@ -595,7 +604,12 @@ def main():
         import threading
 
         def rep_into(w, n_passes, cpus, res, key):
-            res[key] = run_rep(w, n_passes, cpus)
+            # capture failures: a bare thread death would otherwise surface
+            # as an opaque KeyError on res[key] after join()
+            try:
+                res[key] = run_rep(w, n_passes, cpus)
+            except Exception as exc:  # noqa: BLE001
+                res[key] = exc
 
         for r in range(max_reps):
             if time.time() > deadline:
@@ -608,6 +622,11 @@ def main():
                 target=rep_into, args=(w8, passes * k8, c8, res, 8)
             )
             t2.start(); t8.start(); t2.join(); t8.join()
+            for side in (2, 8):
+                if isinstance(res.get(side), Exception):
+                    raise RuntimeError(
+                        f"{side}-core pair worker failed"
+                    ) from res[side]
             wall2, sf2, u2 = res[2]
             wall8t, sf8, u8 = res[8]
             wall8c = wall8t / k8
@@ -644,6 +663,26 @@ def main():
             if (len(pair_effs) >= min_reps and converged(walls[2])
                     and converged(walls[8])):
                 break
+        # one SOLO 2c rep with whatever budget remains: every in-loop 2c
+        # wall is measured beside a busy 8c neighbor, and although the
+        # quiet-box A/B found no 2c-side contention, a bandwidth-bound
+        # workload on other hardware could slow the denominator every
+        # round and inflate BOTH estimators. A solo 2c wall can only
+        # LOWER best[2] (min pool), so folding it in is strictly
+        # conservative; skipped (and disclosed via its absence in
+        # all_reps) when storms already ate the budget.
+        est2 = min((w for w in walls[2]), default=warm2)
+        if time.time() + est2 < deadline + 60:
+            c8, c2 = pick_sets()
+            wall2s, sf2s, u2s = run_rep(w2, passes, c2)
+            ok2s = sf2s <= steal_cap and u2s >= util_floor[2]
+            all_reps.setdefault("2solo", []).append(
+                (round(wall2s, 3), round(sf2s, 4), round(u2s, 3), ok2s)
+            )
+            if ok2s:
+                walls[2].append(round(wall2s, 3))
+            _log(f"scale solo 2c: {wall2s:.2f}s steal={sf2s:.1%} "
+                 f"util={u2s:.0%} {'ok' if ok2s else 'REJECTED'}")
         if not walls[2]:  # co-tenant never let up: fall back to all reps
             walls[2] = [r[0] for r in all_reps[2]]
         if not walls[8]:  # prefer solo 8c rejects, then pair-measured walls
@@ -674,7 +713,10 @@ def main():
         med = {c: sorted(ws)[len(ws) // 2] for c, ws in walls.items()}
         work = n_tuples * passes
         eff_seq = round(best[2] / (4.0 * best[8]), 4)
-        eff_pair = (round(sorted(pair_effs)[len(pair_effs) // 2], 4)
+        # LOWER-middle for even counts: sorted[n//2] would take the upper-
+        # middle and inflate the gated value; the conservative pick keeps
+        # the "only ever reads low" property the max() criterion rests on
+        eff_pair = (round(sorted(pair_effs)[(len(pair_effs) - 1) // 2], 4)
                     if pair_effs else None)
         # both estimators only read LOW under interference (see the rep-
         # loop comment), so the larger is the tighter honest lower bound
@@ -692,6 +734,7 @@ def main():
             "pair_efficiencies": pair_effs,
             "all_reps_wall_steal_util_ok": {
                 "2": all_reps[2], "8": all_reps[8], "8conc": all_reps["8conc"],
+                "2solo": all_reps.get("2solo", []),
                 "32": [(round(w, 3), None, None, True) for w in walls32],
             },
             "best_wall_s": {"2": best[2], "8": best[8], "32": round(wall32, 3)},
@@ -727,7 +770,7 @@ def main():
                     "co-tenant storm cannot fake sublinearity, and its 8c "
                     "side carries 4-10% self-contention (quiet-box A/B; "
                     "2c side measured unaffected) so it only reads low; "
-                    "the sequential estimate is confirmed min accepted "
+                    "a closing SOLO 2-core rep (budget permitting) joins the 2c min pool so any neighbor-induced 2c slowdown cannot inflate the ratio; the sequential estimate is confirmed min accepted "
                     "wall (fastest reproduced within 8%) per level from "
                     "solo 8c reps, which one-sided storms also only "
                     "deflate — the max of two only-deflatable estimators "

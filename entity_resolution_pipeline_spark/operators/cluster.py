@@ -400,8 +400,8 @@ def louvain_clusters(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
     Each round, every node moves to the neighbor community with the best
     modularity gain dQ ~ k_in(c) - k_i * tot(c\\i) / 2m (evaluated for all
     neighbor communities plus staying put), ties -> smallest community id;
-    rounds repeat until no node moves for two consecutive rounds (both
-    parities quiescent) or ``max_iterations``. Synchronous moves make this
+    rounds repeat until no node wants to move or ``max_iterations``.
+    Synchronous moves make this
     an approximation of sequential Louvain (documented); to break the
     two-node oscillations synchronous updates are prone to (a pair that
     each jump to the other's community every round), only about half the
@@ -471,14 +471,13 @@ def louvain_clusters(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
         may_move = (
             F.pmod(F.shiftright(F.xxhash64("node"), it % 32), F.lit(2)) == 0
         )
-        labels = (
-            joined.select(
-                "node",
-                F.when(may_move, F.col("best_c"))
-                .otherwise(F.col("community"))
-                .alias("community"),
-            )
-            .localCheckpoint(eager=True)
+        # narrow projection over the just-checkpointed frame: lineage stays
+        # bounded without materializing the same per-node data twice
+        labels = joined.select(
+            "node",
+            F.when(may_move, F.col("best_c"))
+            .otherwise(F.col("community"))
+            .alias("community"),
         )
 
     # stable ids: min member node per community

@@ -99,6 +99,24 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _pair_passes(warm2, warm8):
+    """8-core passes per 2-core pass in a concurrent pair: CEIL of the
+    warm-up ratio, so the 8-core span always covers the 2-core span. A
+    2c-only tail would let accounting-invisible interference slow only
+    the ratio's denominator (inflating it); an 8c-only tail can only
+    deflate it."""
+    import math
+
+    return max(1, math.ceil(warm2 / max(warm8, 0.5)))
+
+
+def _lower_median(xs):
+    """Median that takes the LOWER-middle element for even counts — the
+    conservative pick for a gated lower-bound estimate (upper-middle
+    would inflate it)."""
+    return sorted(xs)[(len(xs) - 1) // 2]
+
+
 def _confirmed_min(walls, tol=1.08):
     """Fastest wall that a SECOND wall reproduces within ``tol``.
 
@@ -591,9 +609,7 @@ def main():
         # (round() could leave a 2c-only tail where an accounting-invisible
         # storm slows only the denominator and inflates the pair ratio; an
         # 8c-only tail can only deflate it)
-        import math
-
-        k8 = max(1, math.ceil(warm2 / max(warm8, 0.5)))
+        k8 = _pair_passes(warm2, warm8)
 
         def converged(ws):
             if len(ws) < min_reps:
@@ -716,8 +732,7 @@ def main():
         # LOWER-middle for even counts: sorted[n//2] would take the upper-
         # middle and inflate the gated value; the conservative pick keeps
         # the "only ever reads low" property the max() criterion rests on
-        eff_pair = (round(sorted(pair_effs)[(len(pair_effs) - 1) // 2], 4)
-                    if pair_effs else None)
+        eff_pair = round(_lower_median(pair_effs), 4) if pair_effs else None
         # both estimators only read LOW under interference (see the rep-
         # loop comment), so the larger is the tighter honest lower bound
         efficiency = max(e for e in (eff_seq, eff_pair) if e is not None)

@@ -30,10 +30,13 @@ Scaling-measurement design (sandbox realities; round-2 rework):
   and can only deflate the ratio), so a one-sided co-tenant storm cannot
   fake sublinearity — followed by a cheap solo 8-core rep, plus one solo
   2-core rep at the end (budget permitting) so neighbor-induced 2c
-  slowdown cannot inflate the ratio either. Criterion = max(sequential
-  confirmed-min estimate, lower-median pair ratio); both estimators are
-  only deflatable by interference (pair's 8c side carries 4-10%
-  self-contention, quiet-box A/B'd; its 2c side measured unaffected).
+  slowdown cannot inflate the ratio either. Criterion = the lower-median
+  pair ratio (window matching makes it robust to one-sided storms in
+  BOTH directions; its 8c side carries 4-10% self-contention, quiet-box
+  A/B'd, so it reads conservatively low); the sharper sequential
+  confirmed-min estimate is disclosed alongside and is the fallback only
+  when every pair was rejected — it inflates when storms land on the
+  2-core reps but miss the solo 8-core reps.
 - the measured job is `passes` scoring Arrow passes over a pre-materialized,
   pre-partitioned, cached distinct-tuples parquet; `passes` is calibrated
   from the 2-core warm-up so the 2-core wall is >= ~45 s (small walls are
@@ -549,9 +552,9 @@ def main():
         passes = max(1, min(8, round(target / max(warm2, 0.5))))
         _log(f"scale warmups: 2-core {warm2:.1f}s, 8-core {warm8:.1f}s -> passes={passes}")
 
-        # Two independent estimators per round, both only DEFLATABLE by
-        # interference, so max(estimators) is the tightest honest lower
-        # bound on the true efficiency:
+        # Two independent estimators per round; the window-matched pair
+        # ratio is the criterion and the sequential estimate is
+        # disclosure + fallback:
         #
         # 1. CONCURRENT PAIR: the 2-core and 8-core workers run their
         #    timed reps in the SAME wall-clock window (the 8-core side
@@ -563,14 +566,19 @@ def main():
         #    reps stayed clean. Quiet-box A/B (3 pairs vs 5 solo reps,
         #    same workload/box): the 2-core wall is unchanged by the
         #    8-core neighbor (24.2 s solo vs 23.3-25.6 concurrent) and
-        #    the 8-core side pays 4-10% self-contention — i.e. the pair
-        #    estimator can only read LOW, never high.
+        #    the 8-core side pays 4-10% self-contention — the pair
+        #    estimator reads conservatively low; per-pair asymmetries
+        #    (sub-threshold steal on just one pinned set) are damped by
+        #    the lower-median over the accepted pairs.
         # 2. SEQUENTIAL CONFIRMED-MIN: solo 8-core reps after each pair
         #    (cheap, ~1/4 the 2-core wall) + the pair-measured 2-core
         #    walls, confirmed-min per level (fastest wall reproduced by a
         #    second within 8%). Reads low under one-sided storms but has
         #    no self-contention; on a quiet box it is the sharper of the
-        #    two (0.95+ observed).
+        #    two (0.95+ observed) but it INFLATES when a storm lands on
+        #    the 2-core reps and misses the solo 8-core reps (observed
+        #    1.01 in a stormy window), so it is disclosure + fallback,
+        #    not the criterion.
         #
         # A rep is rejected when the co-tenant stole > 3% of the pinned
         # set's cpu-time during it (per-CPU steal attribution) or the
@@ -730,12 +738,18 @@ def main():
         work = n_tuples * passes
         eff_seq = round(best[2] / (4.0 * best[8]), 4)
         # LOWER-middle for even counts: sorted[n//2] would take the upper-
-        # middle and inflate the gated value; the conservative pick keeps
-        # the "only ever reads low" property the max() criterion rests on
+        # middle and inflate the gated value
         eff_pair = round(_lower_median(pair_effs), 4) if pair_effs else None
-        # both estimators only read LOW under interference (see the rep-
-        # loop comment), so the larger is the tighter honest lower bound
-        efficiency = max(e for e in (eff_seq, eff_pair) if e is not None)
+        # The window-matched pair median is the CRITERION whenever pairs
+        # were accepted: a one-sided storm cannot bias it in either
+        # direction (both sides share the window; per-pair asymmetries are
+        # damped by the lower-median over >= 3 pairs), while the
+        # sequential estimate inflates when storms land on the 2-core
+        # reps but miss the solo 8-core reps (observed: a stormy run read
+        # seq = 1.01 while the pairs read 0.88-0.99). The sharper
+        # sequential estimate is disclosed alongside and used only as the
+        # fallback when every pair was rejected.
+        efficiency = eff_pair if eff_pair is not None else eff_seq
 
         def thr(wall):
             return work / wall
@@ -779,17 +793,19 @@ def main():
                     "worker is pinned to the two IDLEST CPUs and the 8-core "
                     "worker to the next eight, so set assignment can only "
                     "bias the criterion downward. efficiency_2_to_8 = "
-                    "max(sequential confirmed-min estimate, median same-"
-                    "window concurrent-pair ratio): the pair runs both "
-                    "levels in one wall-clock window so a one-sided "
-                    "co-tenant storm cannot fake sublinearity, and its 8c "
-                    "side carries 4-10% self-contention (quiet-box A/B; "
-                    "2c side measured unaffected) so it only reads low; "
-                    "a closing SOLO 2-core rep (budget permitting) joins the 2c min pool so any neighbor-induced 2c slowdown cannot inflate the ratio; the sequential estimate is confirmed min accepted "
-                    "wall (fastest reproduced within 8%) per level from "
-                    "solo 8c reps, which one-sided storms also only "
-                    "deflate — the max of two only-deflatable estimators "
-                    "is the tighter honest lower bound. 8->32 is "
+                    "the lower-median same-window concurrent-pair ratio: "
+                    "the pair runs both levels in one wall-clock window "
+                    "so a one-sided co-tenant storm cannot bias the ratio "
+                    "in either direction, its 8c side carries 4-10% "
+                    "self-contention (quiet-box A/B; 2c side measured "
+                    "unaffected) so it reads conservatively low, and the "
+                    "lower-median damps per-pair asymmetries. The "
+                    "sequential confirmed-min estimate (solo 8c walls + "
+                    "pair 2c walls + a closing solo 2c rep when budget "
+                    "permits) is disclosed alongside and is the fallback "
+                    "when every pair was rejected; it inflates when "
+                    "storms land on the 2c reps but miss the solo 8c "
+                    "reps, which is why it is not the criterion. 8->32 is "
                     "informational only (unpinned; a co-tenant holds ~9 "
                     "of 32 CPUs)",
         }

@@ -347,7 +347,14 @@ def q_so4_distinct_count(spark, sf_dir):
 
 def q_f3_levenshtein_pairs(spark, sf_dir):
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
-    a, b = p.alias("a"), p.alias("b")
+    # The (brand, size) self-join expands ~80x before the levenshtein
+    # projection, but the probe side is a single small parquet split — the
+    # whole expansion would run in ONE task (measured 32 s at sf1.0).
+    # Spread the probe side to the configured shuffle parallelism; the
+    # partition count stays conf-derived, never a local constant.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = p.repartition(n_part, "p_partkey").alias("a")
+    b = p.alias("b")
     lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     max_len = F.greatest(F.length("a.p_name"), F.length("b.p_name"))
     return (

@@ -241,14 +241,29 @@ def minhash_signatures(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
+        # Per-task shingle-hash memo: corpora being deduped repeat shingles
+        # heavily (boilerplate, shared vocabulary — this corpus measures
+        # ~300x repetition), so caching the 28-bit base hash per distinct
+        # shingle removes most md5 calls. int.from_bytes over digest()
+        # avoids the hex-string detour while producing the identical value
+        # (first 28 bits of the md5 = first 7 hex chars). Bounded: cleared
+        # past 4M entries so a high-entropy task cannot grow it unbounded.
+        memo: dict[str, int] = {}
         for pdf in batches:
             ids, sigs = [], []
+            if len(memo) > 4_000_000:
+                memo.clear()
+            mget = memo.get
             for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
                 sh = {nt} if len(nt) <= k else {nt[i:i + k] for i in range(len(nt) - k + 1)}
-                h = np.fromiter(
-                    (int(md5(s.encode("utf-8")).hexdigest()[:7], 16) for s in sh),
-                    dtype=np.uint64, count=len(sh),
-                )[None, :]
+                vals = []
+                for s in sh:
+                    v = mget(s)
+                    if v is None:
+                        v = int.from_bytes(md5(s.encode("utf-8")).digest()[:4], "big") >> 4
+                        memo[s] = v
+                    vals.append(v)
+                h = np.asarray(vals, dtype=np.uint64)[None, :]
                 # a < 2^31, h < 2^28 -> a*h + b < 2^60: exact in uint64
                 ids.append(doc_id)
                 sigs.append(((a * h + b) % m).min(axis=1).astype(np.int64))
@@ -289,11 +304,14 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     if sigs is None:
         sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
+    # unhex: the 16-byte binary md5 is the identical grouping key at half
+    # the shuffled bytes of the 32-char hex string (the key is internal —
+    # only bucket co-membership matters downstream)
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
-        f"md5(concat(cast(b as string), ':', "
+        f"unhex(md5(concat(cast(b as string), ':', "
         f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-        f"x -> cast(x as string)), ','))))"
+        f"x -> cast(x as string)), ',')))))"
     )
     banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("band"))
     # One ROW per bucket (collect_list) with singleton buckets — the vast

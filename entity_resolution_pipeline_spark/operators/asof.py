@@ -62,7 +62,12 @@ def range_join(
     def _bkt(c):
         return F.floor(F.unix_micros(c.cast("timestamp")) / w)
 
-    p = points.withColumn("_bkt", _bkt(F.col(ts_col)))
+    from .util import ensure_parallelism
+
+    # the points side carries the join + range-filter work; a small
+    # single-row-group scan would otherwise run it in one task (no-op on
+    # scans that already have >= cluster parallelism)
+    p = ensure_parallelism(points).withColumn("_bkt", _bkt(F.col(ts_col)))
     iv = intervals.withColumn(
         "_bkt",
         F.explode(F.sequence(_bkt(F.col(start_col)), _bkt(F.col(end_col)))),

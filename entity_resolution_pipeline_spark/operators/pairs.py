@@ -156,6 +156,46 @@ class _BatchMemo:
             self.tsr[k] = v
         return v
 
+    def bulk_tsr(self, items) -> None:
+        """Pre-fill the tsr memo for many (s1, s2) pairs at once.
+
+        Misses route through the numpy-batched LCS kernel
+        (similarity.lcs_lens_batch) instead of one scalar bigint loop per
+        pair — value-identical (ratio computed from the same integer LCS
+        with the same float expression), ~3x faster at the distinct-pair
+        volumes the scoring kernel sees. Token-sorted forms are deduped
+        (LCS and the length sum are symmetric, so the canonical
+        orientation shares work without changing the value).
+        """
+        from ..functions.similarity import lcs_lens_batch
+
+        miss: dict = {}
+        for s1, s2 in items:
+            k = (s1, s2) if s1 <= s2 else (s2, s1)
+            if k not in self.tsr and k not in miss:
+                miss[k] = None
+        if not miss:
+            return
+        tasks: dict = {}
+        key_tp = []
+        for k in miss:
+            t1, t2 = self._sorted(k[0]), self._sorted(k[1])
+            tp = (t1, t2) if t1 <= t2 else (t2, t1)
+            key_tp.append((k, tp))
+            if tp not in tasks:
+                tasks[tp] = 1.0 if t1 == t2 else None
+        todo = [tp for tp, v in tasks.items() if v is None]
+        if todo:
+            lens = lcs_lens_batch(todo, mask_cache=self.masks)
+            for tp, lcs in zip(todo, lens.tolist()):
+                lensum = len(tp[0]) + len(tp[1])
+                tasks[tp] = (
+                    1.0 if lensum == 0
+                    else 1.0 - (lensum - 2 * lcs) / lensum
+                )
+        for k, tp in key_tp:
+            self.tsr[k] = tasks[tp]
+
 
 def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str | None]:
     """(18 features, prefilter in {'true','false',None}) for one pair.
@@ -272,6 +312,22 @@ def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, np
         ) & np.fromiter((a is not None for a in strs[f + "2"]), dtype=bool, count=n)
 
     # --- per-field similarity (the f_cosine features) ---
+    # one bulk pre-fill of the tsr memo across every field's miss rows:
+    # distinct misses run through the numpy-batched LCS kernel instead of
+    # a scalar bigint loop per pair (the round-5 kernel's hot spot)
+    bulk_items = []
+    for f in FIELDS:
+        if f == "person":
+            continue
+        s1a, s2a = strs[f + "1"], strs[f + "2"]
+        for i in np.flatnonzero(present[f] & ~eq[f]):
+            bulk_items.append((s1a[i], s2a[i]))
+    _pp = present["person"]
+    s1a, s2a = strs["person1"], strs["person2"]
+    for i in np.flatnonzero(_pp & ~eq["person"]):
+        bulk_items.append((s1a[i], s2a[i]))
+    memo.bulk_tsr(bulk_items)
+
     sims = {}
     for f in FIELDS:
         sim = np.zeros(n)

@@ -257,3 +257,63 @@ class TestBitParallelKernels:
 
         assert levenshtein_distance("héllo", "hello") == levenshtein_distance_dp("héllo", "hello")
         assert levenshtein_distance("ß", "ss") == 2
+
+
+class TestBatchedLCS:
+    """The numpy-batched Allison-Dix kernel must equal the scalar kernel
+    on every pair, across the 1-limb/2-limb/scalar-fallback boundaries."""
+
+    def test_property_fuzz(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from entity_resolution_pipeline_spark.functions.similarity import (
+            _lcs_len,
+            lcs_lens_batch,
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.text(alphabet="abcz ,é€", max_size=140),
+                    st.text(alphabet="abcz ,é€", max_size=140),
+                ),
+                max_size=12,
+            )
+        )
+        def check(pairs):
+            got = lcs_lens_batch(pairs)
+            exp = np.array([_lcs_len(a, b) for a, b in pairs], dtype=np.int64)
+            assert (got == exp.reshape(got.shape)).all()
+
+        check()
+
+    def test_limb_boundaries(self):
+        import numpy as np
+
+        from entity_resolution_pipeline_spark.functions.similarity import (
+            _lcs_len,
+            lcs_lens_batch,
+        )
+
+        pairs = []
+        for m in (1, 63, 64, 65, 127, 128, 129, 200):
+            pairs.append(("ab" * m, ("ba" * (m + 3))[:2 * m + 3]))
+            pairs.append(("x" * m, "x" * m))
+        got = lcs_lens_batch(pairs)
+        exp = np.array([_lcs_len(a, b) for a, b in pairs])
+        assert (got == exp).all()
+
+    def test_bulk_tsr_matches_get_tsr(self):
+        from entity_resolution_pipeline_spark.operators.pairs import _BatchMemo
+
+        strs = ["alpha beta", "beta alpha", "gamma delta x", "", "alpha  beta",
+                "composite text here with words", "words here composite text"]
+        items = [(a, b) for a in strs for b in strs]
+        m1 = _BatchMemo()
+        m1.bulk_tsr(items)
+        m2 = _BatchMemo()
+        for a, b in items:
+            k = (a, b) if a <= b else (b, a)
+            assert m1.tsr[k] == m2.get_tsr(a, b), (a, b)

@@ -690,7 +690,6 @@ def embedding_lsh_pairs(
     recomputed cosines agree to the last ulp or within one BLAS rounding
     of it; `min` makes the survivor deterministic).
     """
-    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -709,29 +708,34 @@ def embedding_lsh_pairs(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .util import vec_matrix_groups
 
-        md5 = hashlib.md5
+        # integer band keys (band_index << rows_per_band | packed sign
+        # bits): any injective map of (band, bit-chunk) groups identically,
+        # so the former per-row per-band Python md5/string loop is replaced
+        # by one sign-bit matmul + one pack matmul per band — and the
+        # 32-char hex grouping key becomes an 8-byte long in the shuffle
+        pack_w = (1 << np.arange(rows_per_band - 1, -1, -1)).astype(np.int64)
         for pdf in batches:
             vals = pdf[vec_col].tolist()
-            ids = pdf[id_col].tolist()
-            out_ids, out_bands, out_vecs = [], [], []
+            ids = pdf[id_col].to_numpy()
+            id_chunks, band_chunks, out_vecs = [], [], []
             # NULL/empty/wrong-length vectors can't be hashed against the
             # dim-sized hyperplanes: they drop here and so can never be
             # candidates (drop-don't-crash, see util.vec_matrix_groups)
             for sel, vv in vec_matrix_groups(vals):
                 if vv.shape[1] != dim:
                     continue
-                bits = (vv @ planes.T) >= 0  # (n, n_planes) sign bits
-                for k_i, brow in zip(sel.tolist(), bits):
-                    for b in range(bands):
-                        chunk = brow[b * rows_per_band:(b + 1) * rows_per_band]
-                        key = f"{b}:" + "".join("1" if x else "0" for x in chunk)
-                        out_ids.append(ids[k_i])
-                        out_bands.append(md5(key.encode()).hexdigest())
-                        out_vecs.append(vals[k_i])
+                bits = ((vv @ planes.T) >= 0).astype(np.int64)  # (g, planes)
+                keys = np.empty((len(sel), bands), dtype=np.int64)
+                for b in range(bands):
+                    packed = bits[:, b * rows_per_band:(b + 1) * rows_per_band] @ pack_w
+                    keys[:, b] = (b << rows_per_band) + packed
+                id_chunks.append(np.repeat(ids[sel], bands))
+                band_chunks.append(keys.reshape(-1))
+                out_vecs.extend(v for i in sel.tolist() for v in (vals[i],) * bands)
             yield pd.DataFrame(
                 {
-                    "id": out_ids,
-                    "band": out_bands,
+                    "id": np.concatenate(id_chunks) if id_chunks else np.array([], dtype=np.int64),
+                    "band": np.concatenate(band_chunks) if band_chunks else np.array([], dtype=np.int64),
                     # object dtype: an all-dropped batch would otherwise
                     # yield an empty float64 column, which Arrow cannot
                     # convert to list<float>
@@ -740,7 +744,7 @@ def embedding_lsh_pairs(
             )
 
     src = ensure_parallelism(emb.select(id_col, vec_col))
-    buckets = src.mapInPandas(run, schema=f"id long, band string, v {vec_t}")
+    buckets = src.mapInPandas(run, schema=f"id long, band long, v {vec_t}")
     pairs = _block_gram_pairs(buckets, threshold, block_col="band")
     return pairs.groupBy("doc_id1", "doc_id2").agg(F.min("cosine").alias("cosine"))
 

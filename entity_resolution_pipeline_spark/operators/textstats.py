@@ -264,10 +264,13 @@ def tfidf_top_terms(
     idf = F.log((n_col + 1.0) / (F.col("df") + 1.0)) + 1.0
     # NO broadcast hint on the vocabulary: on web text the distinct-token
     # table is unbounded (the same driver-OOM trap the round-2 blocking
-    # broadcast had). tf is already hash-partitioned by (doc_id, tok), so
-    # the tok-keyed join shuffles once either way; AQE may still choose a
-    # broadcast when the measured vocab is actually small.
-    scored = tf.join(df_, "tok").select(
+    # broadcast had). The MERGE hint keeps the join tok-keyed on BOTH
+    # sides, so the probe side's Exchange is the identical subplan to the
+    # one feeding the df aggregation and Catalyst emits a ReusedExchange:
+    # the tf kernel runs ONCE per action instead of once per subtree
+    # (A/B'd ~1.5-2x on this stage; an AQE broadcast pick would re-run
+    # the kernel for the probe side).
+    scored = tf.join(df_.hint("merge"), "tok").select(
         "doc_id", "tok", "tf", (F.col("tf") * idf).alias("score")
     )
     # top-k per doc WITHOUT a full window sort: one partial-aggregated

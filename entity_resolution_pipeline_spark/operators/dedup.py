@@ -488,11 +488,18 @@ def near_dup_clusters(
     cl = assign_clusters(edges, nodes)  # eager CC inside
     for df_ in to_unpersist:
         df_.unpersist()
-    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cl.join(sizes, "cluster_id").select(
+    # cluster_size as a count window: the former groupBy + join-back
+    # shuffled the membership table twice (and evaluated the cl plan in
+    # both branches); one count-over-partition shuffle computes the
+    # identical integer per row
+    from pyspark.sql import Window
+
+    return cl.select(
         F.col("entity_id").alias("doc_id"),
         F.col("cluster_id").alias("keep_id"),
-        "cluster_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
     )
 
 

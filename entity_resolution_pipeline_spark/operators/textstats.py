@@ -464,39 +464,43 @@ def language_id_v2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whole page). NULL text behaves exactly like empty text -> 'und'
     (matching the Python twin detect_language_trigram).
     """
-    docs = ensure_parallelism(docs)
-    norm = F.substring(
-        F.coalesce(F.lower(_NORM(F.col(text_col))), F.lit("")), 1, LANGID_MAX_CHARS
-    )
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    tris = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, length(padded) - 2), i -> substring(padded, i, 3))"
-        )
-    )
-    d = docs.select("doc_id", norm.alias("nrm"), padded.alias("padded"))
-    d = d.select("doc_id", "nrm", tris.alias("tris"))
-    # Linear argmax: max over (hits, -lang_rank) structs. A chained
-    # when(h > best.hits, cand).otherwise(best) would embed the whole
-    # previous chain TWICE per language — 2^13 expression blowup that
-    # fails codegen and OOMs the interpreted fallback. Struct ordering is
-    # lexicographic, so ties on hits resolve to the LARGEST -rank = the
-    # lexicographically smallest language (same tie-break as the Python
-    # twin).
+    # One Arrow pass with the exact logic of the pytest-pinned Python twin
+    # (functions/text.detect_language_trigram) — profile sets hoisted once
+    # per task. The former JVM plan extracted trigrams with an interpreted
+    # `transform` lambda (one interpreter step per char position) and ran
+    # 13 array_intersects per row; the set arithmetic here is C-speed and
+    # the value contract is enforced by test_language_id_v2_matches_python_twin.
+    from collections.abc import Iterator
+
+    from ..functions.text import normalize_text
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
     langs = sorted(TRIGRAM_PROFILES)
-    entries = []
-    for i, lang in enumerate(langs):
-        arr = F.array(*[F.lit(t) for t in TRIGRAM_PROFILES[lang]])
-        h = F.size(F.array_intersect(F.col("tris"), arr))
-        entries.append(F.struct(h.alias("hits"), F.lit(-i).alias("nr")))
-    d = d.select("doc_id", "nrm", F.array_max(F.array(*entries)).alias("best"))
-    lang_arr = F.array(*[F.lit(l) for l in langs])
-    pred = (
-        F.when(F.col("nrm") == "", "und")
-        .when(F.col("best")["hits"] < TRIGRAM_MIN_HITS, "und")
-        .otherwise(F.element_at(lang_arr, -F.col("best")["nr"] + 1))
+    profiles = [(lang, frozenset(TRIGRAM_PROFILES[lang])) for lang in langs]
+    min_hits = TRIGRAM_MIN_HITS
+    max_chars = LANGID_MAX_CHARS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = []
+            for t in pdf[text_col]:
+                nrm = normalize_text(t).lower()[:max_chars]
+                if not nrm:
+                    preds.append("und")
+                    continue
+                padded = " " + nrm + " "
+                tris = {padded[i:i + 3] for i in range(len(padded) - 2)}
+                best_lang, best_hits = "und", 0
+                for lang, prof in profiles:
+                    hits = len(tris & prof)
+                    if hits > best_hits:
+                        best_lang, best_hits = lang, hits
+                preds.append(best_lang if best_hits >= min_hits else "und")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "lang_pred": preds})
+
+    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
+        run, schema=f"doc_id {id_t}, lang_pred string"
     )
-    return d.select("doc_id", pred.alias("lang_pred"))
 
 
 _BPE_SCHEMA = StructType(

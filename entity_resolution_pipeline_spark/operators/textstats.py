@@ -114,8 +114,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition/symbol quality signals in the Gopher / C4 style —
     per-document filters a web-scale training pipeline applies before
-    anything expensive touches the text. All JVM (one narrow (doc_id, tok)
-    shuffle for the top-word stat), exactly DuckDB-replayable:
+    anything expensive touches the text:
 
     - ``n_words``            : whitespace words of the normalized text
     - ``top_word_frac``      : occurrences of the most frequent word / n_words
@@ -124,84 +123,92 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - ``frac_ellipsis_lines``: lines ending in '...' or '…'
     - ``symbol_word_ratio``  : '#' / '…' / '...' symbols per word
     - ``frac_alpha_words``   : words containing at least one [a-z]
+
+    ONE Arrow kernel computes every per-doc integer (line splits, distinct
+    lines, symbol counts, token Counter) — zero shuffle, zero joins; the
+    round-5 plan paid a 4-regex JVM base projection PLUS an
+    explode/groupBy/groupBy/join chain that shuffled every token twice.
+    The ratios stay JVM expressions over the kernel's integers (identical
+    IEEE division), and every integer is value-identical to the old
+    expressions: str.split('\\n') == split(raw,'\\n') (trailing empties
+    kept on both), str.count('...') == regexp_count('\\.\\.\\.')
+    (both count left-to-right non-overlapping), the [a-z]-token count
+    matches the lazy boundary-anchored regex (one match per qualifying
+    token), and the DuckDB oracle pins all of it.
     """
-    raw = F.col(text_col)
-    norm = F.lower(_NORM(raw))
-    lines = F.when(
-        raw.isNull() | (raw == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(raw, "\n"))
-    d = docs.select("doc_id", raw.alias("raw"), lines.alias("lines"))
-
-    n_lines = F.size("lines")
-    n_dup_lines = n_lines - F.size(F.array_distinct("lines"))
-    # lines per doc are few — the interpreted lambda filter is fine there;
-    # the per-WORD alpha filter was the hot higher-order function (round-2
-    # lesson: HOF lambdas run interpreted per element) and is replaced by a
-    # value-identical C-speed regexp_count: one lazy match per qualifying
-    # token — the resumed scan can never re-match inside the same token,
-    # since a second match needs a preceding space. The DuckDB oracle pins
-    # value equality.
-    ell = F.size(F.expr("filter(lines, l -> l like '%...' or l like '%…')"))
-    n_hash = F.length("raw") - F.length(F.regexp_replace("raw", "#", ""))
-    n_uell = F.length("raw") - F.length(F.regexp_replace("raw", "…", ""))
-    n_dell = F.regexp_count("raw", F.lit(r"\.\.\."))
-    n_alpha = F.regexp_count(
-        F.lower(_NORM(F.col("raw"))), F.lit(r"(?:^| )[^ ]*?[a-z]")
-    )
-    base = d.select(
-        "doc_id",
-        F.when(n_lines > 0, n_dup_lines.cast("double") / n_lines).otherwise(0.0)
-        .alias("frac_dup_lines"),
-        F.when(n_lines > 0, ell.cast("double") / n_lines).otherwise(0.0)
-        .alias("frac_ellipsis_lines"),
-        (F.coalesce(n_hash + n_uell + n_dell, F.lit(0))).cast("long").alias("n_symbols"),
-        n_alpha.cast("long").alias("n_alpha_words"),
-    )
-
-    # top-word stats in ONE Arrow pass: the former explode -> (doc_id, tok)
-    # count -> per-doc max/sum chain shuffled every token twice (2.3 s at
-    # sf1.0); a Counter over the already-normalized tokens inside a
-    # mapInPandas kernel produces the identical integers with no shuffle
-    # at all (map-side, ~0.4 s). Tokens of the single-space normalized
-    # text are never empty, matching the tok != '' filter.
-    import pandas as pd
+    import re as _re
     from collections import Counter
     from collections.abc import Iterator
 
-    norm_txt = F.lower(_NORM(F.col(text_col)))
+    import pandas as pd
 
-    def run_tw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            tcs, nws = [], []
-            for nt in pdf["nt"]:
-                if not nt:
-                    tcs.append(None)
-                    nws.append(None)
-                    continue
-                toks = nt.split(" ")
-                c = Counter(toks)
-                tcs.append(max(c.values()))
-                nws.append(len(toks))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "top_cnt": tcs, "n_words": nws}
-            )
+    from ..functions.text import normalize_text
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    tw = ensure_parallelism(
-        docs.select("doc_id", norm_txt.alias("nt"))
-    ).mapInPandas(run_tw, schema=f"doc_id {id_t}, top_cnt long, n_words long")
-    out = base.join(tw, "doc_id", "left")
+    _az = _re.compile(r"[a-z]")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_lines": [], "n_dup_lines": [], "n_ell_lines": [],
+                "n_symbols": [], "n_alpha_words": [],
+                "top_cnt": [], "n_words": [],
+            }
+            for raw in pdf[text_col]:
+                if not raw:  # None or "" -> empty lines array (JVM parity)
+                    lines = []
+                else:
+                    lines = raw.split("\n")
+                out["n_lines"].append(len(lines))
+                out["n_dup_lines"].append(len(lines) - len(set(lines)))
+                out["n_ell_lines"].append(
+                    sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
+                )
+                if raw is None:
+                    out["n_symbols"].append(0)  # coalesce(NULL sum, 0) parity
+                    out["n_alpha_words"].append(None)
+                    out["top_cnt"].append(None)
+                    out["n_words"].append(None)
+                    continue
+                out["n_symbols"].append(
+                    raw.count("#") + raw.count("…") + raw.count("...")
+                )
+                nt = normalize_text(raw).lower()
+                toks = nt.split(" ") if nt else []
+                out["n_alpha_words"].append(
+                    sum(1 for w in toks if _az.search(w))
+                )
+                if toks:
+                    c = Counter(toks)
+                    out["top_cnt"].append(max(c.values()))
+                    out["n_words"].append(len(toks))
+                else:
+                    out["top_cnt"].append(None)
+                    out["n_words"].append(None)
+            yield pd.DataFrame(out)
+
+    d = ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
+        run,
+        schema=(
+            f"doc_id {id_t}, n_lines long, n_dup_lines long, n_ell_lines long, "
+            "n_symbols long, n_alpha_words long, top_cnt long, n_words long"
+        ),
+    )
+    n_lines = F.col("n_lines")
     n_words = F.coalesce(F.col("n_words"), F.lit(0))
-    return out.select(
+    return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         F.when(n_words > 0, F.col("top_cnt").cast("double") / n_words)
         .otherwise(0.0).alias("top_word_frac"),
-        "frac_dup_lines",
-        "frac_ellipsis_lines",
+        F.when(n_lines > 0, F.col("n_dup_lines").cast("double") / n_lines)
+        .otherwise(0.0).alias("frac_dup_lines"),
+        F.when(n_lines > 0, F.col("n_ell_lines").cast("double") / n_lines)
+        .otherwise(0.0).alias("frac_ellipsis_lines"),
         F.when(n_words > 0, F.col("n_symbols").cast("double") / n_words)
         .otherwise(0.0).alias("symbol_word_ratio"),
-        F.when(n_words > 0, F.col("n_alpha_words").cast("double") / n_words)
+        F.when(n_words > 0, F.coalesce(F.col("n_alpha_words"), F.lit(0)).cast("double") / n_words)
         .otherwise(0.0).alias("frac_alpha_words"),
     )
 

@@ -133,6 +133,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     driver_threshold: int = 500_000,
+    canonical_input: bool = False,
 ) -> DataFrame:
     """G3: (node, component) with component = min node id in the component.
 
@@ -150,9 +151,16 @@ def connected_components(
     is bounded by the threshold (~8 MB of Arrow-framed ids at the default —
     measured 2x faster than the distributed rounds even at the full 500k);
     pass ``driver_threshold=0`` to force the distributed path.
+
+    ``canonical_input=True`` skips the orient/dedup pass (one full shuffle
+    of the edge set): the caller guarantees no self-loops and no duplicate
+    unordered pairs — exactly the contract every dedup pair operator
+    already meets (doc_id1 < doc_id2, distinct). Orientation itself is
+    irrelevant to both paths (the star loop symmetrizes, union-find is
+    undirected).
     """
     spark = edges.sparkSession
-    e = _canonical(edges).localCheckpoint(eager=True)
+    e = (edges if canonical_input else _canonical(edges)).localCheckpoint(eager=True)
     t = edges.schema["src"].dataType.simpleString()
     if e.isEmpty():
         return spark.createDataFrame([], f"node {t}, component {t}")
@@ -207,12 +215,15 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
-def assign_clusters(edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
+def assign_clusters(
+    edges: DataFrame, all_nodes: DataFrame, canonical_input: bool = False
+) -> DataFrame:
     """(entity_id, cluster_id): CC labels, singletons = their own cluster.
 
-    ``all_nodes`` must have a single column ``node``.
+    ``all_nodes`` must have a single column ``node``. ``canonical_input``
+    is forwarded to connected_components (see there).
     """
-    cc = connected_components(edges)
+    cc = connected_components(edges, canonical_input=canonical_input)
     return (
         all_nodes.join(cc, "node", "left")
         .select(

@@ -470,24 +470,17 @@ def near_dup_clusters(
     }
     from .cluster import assign_clusters
 
-    # Persist lifecycle lives HERE (operators stay cache-stateless, the
-    # TestNoPersistLeaks contract): CC consumes the pair set several
-    # times (probe + union-find collect / star joins), so it is persisted
-    # for the duration of the clustering — then unpersisted before
-    # returning, which is safe because connected_components EAGERLY
-    # localCheckpoints its edge input: the returned frame's lineage no
-    # longer references the pair pipeline at all. (The minhash sketch no
-    # longer needs its own persist: the per-bucket verify kernel consumes
-    # the signature plan exactly once per action.)
-    to_unpersist = []
+    # No persist needed: every pair operator emits canonical distinct
+    # pairs (doc_id1 < doc_id2), so connected_components runs with
+    # canonical_input=True — its EAGER localCheckpoint evaluates the pair
+    # pipeline exactly once and every downstream consumer (fast-path
+    # probe, union-find collect / star joins) reads the checkpoint, never
+    # the pair plan. This also drops the orient/dedup shuffle the generic
+    # path pays.
     pairs = fns[method](docs, text_col, **kw)
-    pairs = pairs.persist()
-    to_unpersist.append(pairs)
     edges = pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
     nodes = docs.select(F.col("doc_id").alias("node"))
-    cl = assign_clusters(edges, nodes)  # eager CC inside
-    for df_ in to_unpersist:
-        df_.unpersist()
+    cl = assign_clusters(edges, nodes, canonical_input=True)  # eager CC inside
     # cluster_size as a count window: the former groupBy + join-back
     # shuffled the membership table twice (and evaluated the cl plan in
     # both branches); one count-over-partition shuffle computes the

@@ -227,11 +227,17 @@ def minhash_signatures(
     import pandas as pd
 
     # the sketch is CPU-heavy per row: small single-row-group parquet would
-    # otherwise run it in 1-2 tasks
-    d = ensure_parallelism(docs.select(
-        "doc_id",
-        F.substring(F.lower(_NORM(F.col(text_col))), 1, max_chars).alias("nt"),
-    )).where(F.col("nt") != "")
+    # otherwise run it in 1-2 tasks. Spread FIRST, normalize after: with
+    # the projection inside ensure_parallelism the regex normalization ran
+    # in the scan task (serially, before the spreading shuffle)
+    d = (
+        ensure_parallelism(docs.select("doc_id", text_col))
+        .select(
+            "doc_id",
+            F.substring(F.lower(_NORM(F.col(text_col))), 1, max_chars).alias("nt"),
+        )
+        .where(F.col("nt") != "")
+    )
 
     a_l, b_l = minhash_perm_coeffs(num_perm)
     a = np.asarray(a_l, dtype=np.uint64)[:, None]
@@ -393,8 +399,8 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = ensure_parallelism(
-        docs.select("doc_id", F.lower(_NORM(F.col(text_col))).alias("nt"))
+    d = ensure_parallelism(docs.select("doc_id", text_col)).select(
+        "doc_id", F.lower(_NORM(F.col(text_col))).alias("nt")
     )
     shifts = np.arange(60, dtype=np.uint64)[None, :]
     weights = (np.uint64(1) << np.arange(60, dtype=np.uint64)).astype(np.int64)

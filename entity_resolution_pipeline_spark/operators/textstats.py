@@ -574,7 +574,10 @@ def fingerprint_set(
     import numpy as np
     import pandas as pd
 
-    d = ensure_parallelism(docs.select("doc_id", _NORM(F.col(text_col)).alias("nt")))
+    # spread first, normalize after the shuffle (see dedup.minhash_signatures)
+    d = ensure_parallelism(docs.select("doc_id", text_col)).select(
+        "doc_id", _NORM(F.col(text_col)).alias("nt")
+    )
     id_t = d.schema["doc_id"].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -475,7 +475,11 @@ def with_pair_key(df: DataFrame) -> DataFrame:
             (max_len == 0) | (F.col("person_lev") < 0.3),
         ).otherwise(F.lit(False)),
     )
-    return out
+    # the 39-char hash strings exist only to derive pair_key + eq flags:
+    # nothing downstream reads them, and leaving them in made every
+    # materialized pair_fields table (and its re-read) carry ~20 dead
+    # string columns per row
+    return out.drop(*[f + "_h1" for f in FIELDS], *[f + "_h2" for f in FIELDS])
 
 
 _TSR_SCHEMA = StructType(

@@ -299,12 +299,18 @@ def q_w3_largest_groups(spark, sf_dir):
 def q_j1_blocking_selfjoin(spark, sf_dir):
     from entity_resolution_pipeline_spark.operators.util import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.substring(_norm(F.col("text")), 1, 10).alias("bkey")
-    )
+    bkey = F.substring(_norm(F.col("text")), 1, 10).alias("bkey")
+    d = _t(spark, sf_dir, "documents").select("doc_id", bkey)
     # single-row-group parquet -> the broadcast-join probe side (where the
-    # block expansion happens) would run in one task; no-op at real scale
-    a, b = ensure_parallelism(d).alias("a"), d.alias("b")
+    # block expansion happens) would run in one task; spread the raw rows
+    # FIRST so the normalization regex also runs post-shuffle instead of
+    # serially in the scan task. No-op at real scale.
+    a = (
+        ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", bkey)
+        .alias("a")
+    )
+    b = d.alias("b")
     return (
         a.join(b, "bkey")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

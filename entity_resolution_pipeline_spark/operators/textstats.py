@@ -44,30 +44,59 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / english-stopword / word-length signals.
 
-    All C-speed column expressions — the earlier per-token higher-order
-    lambdas (interpreted per element) are replaced by value-identical
-    forms, pinned by the DuckDB oracle: stopword occurrences via a
-    token-boundary alternation regex (the trailing boundary is a
-    lookahead, so adjacent stopwords still both match — Java regex only;
-    the oracle keeps its list formulation), and the word-length sum via
-    the single-space identity sum(len(tok)) = n_chars - (n_tokens - 1).
+    One Arrow kernel computes the per-doc integers (chars, tokens, ASCII
+    [^\\w\\s] punct chars, stopword-token occurrences); the ratios stay
+    JVM divisions over them (identical IEEE). Parity notes, all
+    oracle-pinned: Java's default \\w/\\s are the ASCII classes, so the
+    punct count uses a re.ASCII character class; the former
+    boundary-anchored stopword alternation (leading boundary consumed,
+    trailing as lookahead) counts exactly the tokens equal to a stopword,
+    which is the token-membership sum here; the word-length sum uses the
+    single-space identity sum(len(tok)) = n_chars - (n_tokens - 1).
+    NULL text propagates NULL n_chars/n_tokens and 0.0 ratios, exactly
+    like the old expression chain.
     """
-    docs = ensure_parallelism(docs)
-    norm = _NORM(F.col(text_col))
-    n_chars = F.length(norm)
-    tokens = F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
-    n_tokens = F.size(tokens)
-    n_punct = n_chars - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))
-    sw = sorted(STOPWORDS["en"])
-    stop_pat = r"(?:^| )(?:" + "|".join(sw) + r")(?= |$)"
-    n_stop = F.regexp_count(F.lower(norm), F.lit(stop_pat))
+    import re as _re
+    from collections.abc import Iterator as _Iterator
+
+    from ..functions.text import normalize_text
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    stop_set = frozenset(STOPWORDS["en"])
+    punct_re = _re.compile(r"[^\w\s]", _re.ASCII)
+
+    def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "n_chars": [], "n_tokens": [],
+                   "n_punct": [], "n_stop": []}
+            for t in pdf[text_col]:
+                if t is None:
+                    out["n_chars"].append(None)
+                    out["n_tokens"].append(None)
+                    out["n_punct"].append(None)
+                    out["n_stop"].append(None)
+                    continue
+                norm = normalize_text(t)
+                out["n_chars"].append(len(norm))
+                toks = norm.lower().split(" ") if norm else []
+                out["n_tokens"].append(len(toks))
+                out["n_punct"].append(len(punct_re.findall(norm)))
+                out["n_stop"].append(sum(1 for w in toks if w in stop_set))
+            yield pd.DataFrame(out)
+
+    d = ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
+        run,
+        schema=f"doc_id {id_t}, n_chars long, n_tokens long, n_punct long, n_stop long",
+    )
+    n_chars = F.col("n_chars")
+    n_tokens = F.col("n_tokens")
     sum_word_len = F.when(n_tokens > 0, n_chars - (n_tokens - 1)).otherwise(0)
-    return docs.select(
+    return d.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0).alias("punct_ratio"),
-        F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0).alias("stopword_ratio"),
+        F.when(n_chars > 0, F.col("n_punct").cast("double") / n_chars).otherwise(0.0).alias("punct_ratio"),
+        F.when(n_tokens > 0, F.col("n_stop").cast("double") / n_tokens).otherwise(0.0).alias("stopword_ratio"),
         F.when(n_tokens > 0, sum_word_len.cast("double") / n_tokens).otherwise(0.0).alias("mean_word_len"),
     )
 

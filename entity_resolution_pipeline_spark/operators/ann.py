@@ -80,8 +80,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
 
-    Two value-identical physical strategies, picked by Catalyst's corpus
-    size estimate (``strategy='auto'``; force with ``'jvm'``/``'arrow'``):
+    Two physical strategies — identical up to floating-point summation
+    order (BLAS pairwise vs aggregate()'s sequential adds differ in the
+    last ulp, so near-tie ranks/threshold-boundary rows can legitimately
+    diverge on adversarial inputs; the parity test is tolerance-based) —
+    picked by Catalyst's corpus size estimate (``strategy='auto'``; force
+    with ``'jvm'``/``'arrow'``):
 
     - ``'jvm'`` (small corpus): broadcast the query set, crossJoin, cosine
       via zip_with/aggregate, window top-k — one codegen stage, no Python.
@@ -131,7 +135,12 @@ def brute_force_topk(
     # util.vec_matrix_groups): NULL/empty/zero-norm queries drop; a query
     # only scores corpus vectors of ITS length (cosine across lengths is
     # undefined — the old zip_with produced NULL there, never a match)
-    qrows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    # None-safe sort key: a NULL query id would otherwise TypeError on the
+    # driver (the jvm branch tolerates NULL ids; drop-don't-crash parity)
+    qrows = sorted(
+        (r for r in queries.select(id_col, vec_col).collect() if r[0] is not None),
+        key=lambda r: r[0],
+    )
     q_by_len: dict[int, tuple[list, object, object]] = {}
     for r in qrows:
         if r[1] is None or len(r[1]) == 0:

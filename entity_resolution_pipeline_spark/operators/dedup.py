@@ -47,13 +47,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     trillion-doc scale — real data loss for a training pipeline; at 128
     bits the bound is ~n^2/2^129, negligible for any feasible corpus.
     """
+    from pyspark.sql import Window
+
     keyed = docs.select(
         "doc_id", F.unhex(F.md5(_NORM(F.col(text_col)))).alias("tkey")
     )
-    groups = keyed.groupBy("tkey").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    # min/count as WINDOW aggregates over tkey: the former groupBy + join
+    # back evaluated the hash subtree twice (normalize + md5 over the
+    # whole corpus per branch) and paid the join's exchanges on top; one
+    # partition-window computes the identical integers in a single pass
+    # over a single shuffle.
+    w = Window.partitionBy("tkey")
+    return keyed.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
     )
-    return keyed.join(groups, "tkey").select("doc_id", "keep_id", "group_size")
 
 
 def ngram_jaccard_pairs(

@@ -280,14 +280,40 @@ def compute_features_row(row: dict, memo: _BatchMemo) -> tuple[list[float], str 
 _IDX = {n: i for i, n in enumerate(FEATURE_NAMES)}
 
 
-def _obj_col(pdf: pd.DataFrame, c: str) -> np.ndarray:
-    """Column as object ndarray with NaN normalized to None (no row loop)."""
+def _obj_col(pdf: pd.DataFrame, c: str) -> tuple[np.ndarray, np.ndarray]:
+    """(object ndarray with NaN normalized to None, not-null mask) — the
+    mask rides along so callers never re-scan the object array per row."""
     s = pdf[c]
     a = s.to_numpy(dtype=object, copy=True)
     na = s.isna().to_numpy()
     if na.any():
         a[na] = None
-    return a
+    return a, ~na
+
+
+def _pair_sim_gather(
+    s1: np.ndarray, s2: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, int, list]:
+    """Group the (s1[i], s2[i]) rows of ``idx`` by DISTINCT unordered pair.
+
+    Returns (inv, unique_pair_count, unique_pairs) where ``unique_pairs``
+    is a list of (a, b) tuples and ``inv`` maps each idx row to its pair's
+    position — so a similarity computed once per distinct pair scatters
+    back with one fancy index instead of a dict lookup per row.
+    pd.factorize + integer pair codes do the dedup at C speed.
+    """
+    m = idx.size
+    alls = np.empty(2 * m, dtype=object)
+    alls[:m] = s1[idx]
+    alls[m:] = s2[idx]
+    codes, uniq = pd.factorize(alls)
+    ca, cb = codes[:m], codes[m:]
+    lo = np.minimum(ca, cb).astype(np.int64)
+    hi = np.maximum(ca, cb).astype(np.int64)
+    up, inv = np.unique((lo << 32) | hi, return_inverse=True)
+    ua = uniq[(up >> 32).astype(np.intp)]
+    ub = uniq[(up & 0xFFFFFFFF).astype(np.intp)]
+    return inv, len(up), list(zip(ua.tolist(), ub.tolist()))
 
 
 def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, np.ndarray]:
@@ -300,32 +326,41 @@ def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, np
     n = len(pdf)
     X = np.zeros((n, len(FEATURE_NAMES)))
 
-    strs = {c: _obj_col(pdf, c) for f in FIELDS for c in (f + "1", f + "2")}
+    cols = {c: _obj_col(pdf, c) for f in FIELDS for c in (f + "1", f + "2")}
+    strs = {c: v[0] for c, v in cols.items()}
+    notna = {c: v[1] for c, v in cols.items()}
     eq = {f: pdf[f + "_eq"].fillna(False).to_numpy(dtype=bool) for f in FIELDS}
     plev = pd.to_numeric(pdf["person_lev"], errors="coerce").to_numpy(dtype=np.float64)
     pf_false = pdf["pf_false"].fillna(False).to_numpy(dtype=bool)
 
-    present = {}
-    for f in FIELDS:
-        present[f] = np.fromiter(
-            (a is not None for a in strs[f + "1"]), dtype=bool, count=n
-        ) & np.fromiter((a is not None for a in strs[f + "2"]), dtype=bool, count=n)
+    # both-sides-present masks straight from the isna masks _obj_col
+    # already computed (the former per-row generator scans re-walked every
+    # object array)
+    present = {f: notna[f + "1"] & notna[f + "2"] for f in FIELDS}
 
     # --- per-field similarity (the f_cosine features) ---
-    # one bulk pre-fill of the tsr memo across every field's miss rows:
-    # distinct misses run through the numpy-batched LCS kernel instead of
-    # a scalar bigint loop per pair (the round-5 kernel's hot spot)
+    # Every miss row is grouped by DISTINCT unordered string pair first
+    # (_pair_sim_gather: factorize + integer pair codes, C speed); the tsr
+    # memo is bulk-filled through the numpy-batched LCS kernel once per
+    # batch, then each field's values gather back with ONE fancy index.
+    # The former code did a memoized-dict call PER ROW (~4 per pair row —
+    # the second-largest kernel cost after the LCS itself).
+    gathers = {}
     bulk_items = []
     for f in FIELDS:
         if f == "person":
             continue
-        s1a, s2a = strs[f + "1"], strs[f + "2"]
-        for i in np.flatnonzero(present[f] & ~eq[f]):
-            bulk_items.append((s1a[i], s2a[i]))
-    _pp = present["person"]
-    s1a, s2a = strs["person1"], strs["person2"]
-    for i in np.flatnonzero(_pp & ~eq["person"]):
-        bulk_items.append((s1a[i], s2a[i]))
+        need = np.flatnonzero(present[f] & ~eq[f])
+        if need.size:
+            inv, _, upairs = _pair_sim_gather(strs[f + "1"], strs[f + "2"], need)
+            gathers[f] = (need, inv, upairs)
+            bulk_items.extend(upairs)
+    pp = present["person"]
+    need_p = np.flatnonzero(pp & ~eq["person"])
+    if need_p.size:
+        inv, _, upairs = _pair_sim_gather(strs["person1"], strs["person2"], need_p)
+        gathers["person"] = (need_p, inv, upairs)
+        bulk_items.extend(upairs)
     memo.bulk_tsr(bulk_items)
 
     sims = {}
@@ -336,10 +371,14 @@ def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, np
             sim = np.where(np.isnan(plev), 0.0, plev)
         else:
             sim[eq[f] & present[f]] = 1.0
-            need = np.flatnonzero(present[f] & ~eq[f])
-            if need.size:
-                s1, s2 = strs[f + "1"], strs[f + "2"]
-                sim[need] = [memo.get_tsr(s1[i], s2[i]) for i in need]
+            if f in gathers:
+                need, inv, upairs = gathers[f]
+                vals = np.fromiter(
+                    (memo.get_tsr(a, b) for a, b in upairs),
+                    dtype=np.float64,
+                    count=len(upairs),
+                )
+                sim[need] = vals[inv]
         sims[f] = sim
         X[:, _IDX[f + "_cosine"]] = sim
 
@@ -347,15 +386,19 @@ def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, np
 
     # person_jaro_winkler: 1.0 on hash equality, else token_sort_ratio
     pjw = np.zeros(n)
-    pp = present["person"]
     pjw[eq["person"] & pp] = 1.0
-    need = np.flatnonzero(pp & ~eq["person"])
-    if need.size:
-        s1, s2 = strs["person1"], strs["person2"]
-        pjw[need] = [memo.get_tsr(s1[i], s2[i]) for i in need]
+    if "person" in gathers:
+        need, inv, upairs = gathers["person"]
+        vals = np.fromiter(
+            (memo.get_tsr(a, b) for a, b in upairs),
+            dtype=np.float64,
+            count=len(upairs),
+        )
+        pjw[need] = vals[inv]
     X[:, _IDX["person_jaro_winkler"]] = pjw
 
-    # --- birth/death years (memoized per unique person string) ---
+    # --- birth/death years: one extraction per DISTINCT person string
+    # (factorize), scattered back by code — not two memo calls per row ---
     by1 = np.full(n, np.nan)
     dy1 = np.full(n, np.nan)
     by2 = np.full(n, np.nan)
@@ -364,20 +407,27 @@ def _features_batch(pdf: pd.DataFrame, memo: _BatchMemo) -> tuple[np.ndarray, np
     has2 = np.zeros(n, dtype=bool)
     p_rows = np.flatnonzero(pp)
     if p_rows.size:
-        s1, s2 = strs["person1"], strs["person2"]
-        for i in p_rows:
-            b, d = memo.get_years(s1[i])
+        m = p_rows.size
+        alls = np.empty(2 * m, dtype=object)
+        alls[:m] = strs["person1"][p_rows]
+        alls[m:] = strs["person2"][p_rows]
+        codes, uniq = pd.factorize(alls)
+        ub = np.full(len(uniq), np.nan)
+        ud = np.full(len(uniq), np.nan)
+        for j, s in enumerate(uniq.tolist()):
+            b, d = memo.get_years(s)
             if b is not None:
-                by1[i] = b
+                ub[j] = b
             if d is not None:
-                dy1[i] = d
-            has1[i] = b is not None or d is not None
-            b, d = memo.get_years(s2[i])
-            if b is not None:
-                by2[i] = b
-            if d is not None:
-                dy2[i] = d
-            has2[i] = b is not None or d is not None
+                ud[j] = d
+        uhas = ~np.isnan(ub) | ~np.isnan(ud)
+        c1, c2 = codes[:m], codes[m:]
+        by1[p_rows] = ub[c1]
+        dy1[p_rows] = ud[c1]
+        by2[p_rows] = ub[c2]
+        dy2[p_rows] = ud[c2]
+        has1[p_rows] = uhas[c1]
+        has2[p_rows] = uhas[c2]
     X[:, _IDX["birth_year_match"]] = (~np.isnan(by1) & ~np.isnan(by2) & (by1 == by2)).astype(float)
     X[:, _IDX["death_year_match"]] = (~np.isnan(dy1) & ~np.isnan(dy2) & (dy1 == dy2)).astype(float)
     X[:, _IDX["has_birth_death_years"]] = (has1 & has2).astype(float)

@@ -55,15 +55,24 @@ def kmv_sketch(
     if group_col:
         from pyspark.sql import Window
 
+        # ONE evaluation of the hash+distinct subtree for BOTH outputs:
+        # as separate top-k and count branches the distinct plan (md5 over
+        # every value + its shuffle) ran twice and met again in a join.
+        # collect_list skips NULLs, so `when(rn <= k, h)` collects exactly
+        # the k minima while count(1) over the same rows is n_seen — and
+        # the groupBy after the rank window reuses the window's
+        # partitioning (no further Exchange).
         w = Window.partitionBy(group_col).orderBy("h")
-        minima = (
+        return (
             h.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
             .groupBy(group_col)
-            .agg(F.array_sort(F.collect_list("h")).alias("minima"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("rn") <= k, F.col("h")))
+                ).alias("minima"),
+                F.count(F.lit(1)).alias("n_seen"),
+            )
         )
-        counts = h.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_seen"))
-        return minima.join(counts, group_col)
     minima = (
         h.orderBy("h").limit(k)
         .agg(F.array_sort(F.collect_list("h")).alias("minima"))

@@ -273,3 +273,63 @@ def test_louvain_pinned_fixture(spark):
         got = {r["node"]: r["community"]
                for r in louvain_clusters(edges).collect()}
         assert got == expected
+
+
+def test_driver_union_find_matches_scalar_reference(spark):
+    """The vectorized min-label pointer-jumping fast path must label
+    exactly like the classic scalar union-find (component = min node id),
+    on random graphs, a long chain, and STRING node ids."""
+    import numpy as np
+
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        _driver_union_find,
+    )
+
+    def scalar_uf(edge_list):
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in edge_list:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min = {}
+        roots = {x: find(x) for x in parent}
+        for x, r in roots.items():
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        return {x: comp_min[r] for x, r in roots.items()}
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(4):
+        n = int(rng.integers(5, 400))
+        m = int(rng.integers(1, 900))
+        cases.append(
+            [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b]
+        )
+    cases.append([(i, i + 1) for i in range(3000)])  # long chain diameter
+    for edge_list in cases:
+        if not edge_list:
+            continue
+        e = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["node"]: r["component"]
+               for r in _driver_union_find(spark, e, "bigint").collect()}
+        assert got == scalar_uf(edge_list)
+    # string ids: lexicographic min, same as the scalar comparison
+    s_edges = [(f"u{a}", f"u{b}")
+               for a, b in rng.integers(0, 120, size=(400, 2)) if a != b]
+    e = spark.createDataFrame(s_edges, "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in _driver_union_find(spark, e, "string").collect()}
+    assert got == scalar_uf(s_edges)

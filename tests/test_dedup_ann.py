@@ -882,3 +882,27 @@ class TestDegenerateVectors:
                        for r in op(mixed, q_mixed, k=5, strategy=strat,
                                    **kw).collect()}
                 assert got == want, (op.__name__, strat)
+
+
+def test_decontaminate_counts_distinct_shared_fps(spark):
+    """n_shared_fps counts a train doc's DISTINCT shared fingerprints once
+    even when MANY eval docs contain the same passage (the semi-join must
+    not multiply rows the way a plain inner join would)."""
+    from entity_resolution_pipeline_spark.operators.textstats import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(0, leak), (1, "completely unrelated text body with no overlap here")],
+        "doc_id long, text string",
+    )
+    # the same leaked passage appears in THREE eval docs
+    ev = spark.createDataFrame(
+        [(100, leak), (101, leak), (102, leak)], "doc_id long, text string"
+    )
+    one = {r["doc_id"]: (r["n_shared_fps"], r["contaminated"])
+           for r in decontaminate(train, ev.where("doc_id = 100")).collect()}
+    three = {r["doc_id"]: (r["n_shared_fps"], r["contaminated"])
+             for r in decontaminate(train, ev).collect()}
+    assert one == three  # duplicate eval docs change nothing
+    assert three[0][1] is True and three[0][0] > 0
+    assert three[1] == (0, False)

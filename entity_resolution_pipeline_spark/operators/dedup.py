@@ -232,10 +232,8 @@ def minhash_signatures(
     100 TB). Docs with no shingles (empty text) are dropped.
     """
     import hashlib
-    from collections.abc import Iterator
 
     import numpy as np
-    import pandas as pd
 
     # the sketch is CPU-heavy per row: small single-row-group parquet would
     # otherwise run it in 1-2 tasks. Spread FIRST, normalize after: with
@@ -256,7 +254,15 @@ def minhash_signatures(
     m = np.uint64(_MERSENNE31)
     k = shingle_k
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        # mapInArrow, not mapInPandas: every input row emits exactly
+        # ``num_perm`` signature components (empty docs are filtered
+        # JVM-side), so the output list column is ONE flat int64 buffer +
+        # an arithmetic offsets array (pa.ListArray.from_arrays) and the
+        # doc_id column passes through untouched — the former per-row
+        # pandas-list -> Arrow-list conversion walked every element twice.
+        import pyarrow as pa
+
         md5 = hashlib.md5
         # Per-task shingle-hash memo: corpora being deduped repeat shingles
         # heavily (boilerplate, shared vocabulary — this corpus measures
@@ -266,12 +272,15 @@ def minhash_signatures(
         # (first 28 bits of the md5 = first 7 hex chars). Bounded: cleared
         # past 4M entries so a high-entropy task cannot grow it unbounded.
         memo: dict[str, int] = {}
-        for pdf in batches:
-            ids, sigs = [], []
+        for batch in batches:
+            ids_col = batch.column(batch.schema.get_field_index("doc_id"))
+            nts = batch.column(batch.schema.get_field_index("nt")).to_pylist()
             if len(memo) > 4_000_000:
                 memo.clear()
             mget = memo.get
-            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+            flat = np.empty(len(nts) * num_perm, dtype=np.int64)
+            pos = 0
+            for nt in nts:
                 sh = {nt} if len(nt) <= k else {nt[i:i + k] for i in range(len(nt) - k + 1)}
                 vals = []
                 for s in sh:
@@ -282,11 +291,152 @@ def minhash_signatures(
                     vals.append(v)
                 h = np.asarray(vals, dtype=np.uint64)[None, :]
                 # a < 2^31, h < 2^28 -> a*h + b < 2^60: exact in uint64
-                ids.append(doc_id)
-                sigs.append(((a * h + b) % m).min(axis=1).astype(np.int64))
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                flat[pos:pos + num_perm] = ((a * h + b) % m).min(axis=1)
+                pos += num_perm
+            offsets = pa.array(
+                np.arange(0, (len(nts) + 1) * num_perm, num_perm, dtype=np.int32),
+                type=pa.int32(),
+            )
+            sig_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(flat, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays([ids_col, sig_arr], ["doc_id", "sig"])
 
-    return d.mapInPandas(run, schema="doc_id long, sig array<bigint>")
+    return d.mapInArrow(run, schema="doc_id long, sig array<bigint>")
+
+
+def _pack_band_lists(mat, bands: int, item_bytes: int):
+    """(n, num_perm) signature matrix -> Arrow list<binary> of ``bands``
+    injective band keys per row: 1 byte band index + the band's components
+    big-endian (``item_bytes`` each). Purely a zero-copy buffer build —
+    no per-row Python, no hashing. Any injective key function groups
+    buckets identically, so these keys produce exactly the pair set the
+    former md5-string keys did, at zero hash cost."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, num_perm = mat.shape
+    rows = num_perm // bands
+    bl = rows * item_bytes
+    be = mat.astype(f">i{item_bytes}").view(np.uint8).reshape(n, num_perm * item_bytes)
+    parts = np.empty((n, bands, bl + 1), dtype=np.uint8)
+    parts[:, :, 0] = np.arange(bands, dtype=np.uint8)[None, :]
+    parts[:, :, 1:] = be.reshape(n, bands, bl)
+    step = bl + 1
+    bin_off = np.arange(0, (n * bands + 1) * step, step, dtype=np.int32)
+    bin_arr = pa.Array.from_buffers(
+        pa.binary(),
+        n * bands,
+        [None, pa.py_buffer(bin_off), pa.py_buffer(parts.reshape(-1))],
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * bands, bands, dtype=np.int32), type=pa.int32()),
+        bin_arr,
+    )
+
+
+def _minhash_sig_bands(
+    docs: DataFrame,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    max_chars: int = 2048,
+) -> DataFrame:
+    """Fused (doc_id, sig array<int>, bands array<binary>) sketch kernel for
+    the LSH path: the minhash_signatures kernel plus vectorized band-key
+    packing in the SAME Arrow pass. Signature components are < 2^31
+    (mod Mersenne-31), so int32 carries them exactly — the bucket shuffle
+    ships half the signature bytes of the public array<bigint> schema —
+    and the packed band keys replace 8 interpreted JVM md5/array_join
+    evaluations per document with one numpy byte-view."""
+    import hashlib
+
+    import numpy as np
+
+    d = (
+        ensure_parallelism(docs.select("doc_id", text_col))
+        .select(
+            "doc_id",
+            F.substring(F.lower(_NORM(F.col(text_col))), 1, max_chars).alias("nt"),
+        )
+        .where(F.col("nt") != "")
+    )
+    a_l, b_l = minhash_perm_coeffs(num_perm)
+    a = np.asarray(a_l, dtype=np.uint64)[:, None]
+    b = np.asarray(b_l, dtype=np.uint64)[:, None]
+    m = np.uint64(_MERSENNE31)
+    k = shingle_k
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+
+    def run(batches):
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        memo: dict[str, int] = {}
+        for batch in batches:
+            ids_col = batch.column(batch.schema.get_field_index("doc_id"))
+            nts = batch.column(batch.schema.get_field_index("nt")).to_pylist()
+            if len(memo) > 4_000_000:
+                memo.clear()
+            mget = memo.get
+            n = len(nts)
+            flat = np.empty(n * num_perm, dtype=np.int32)
+            pos = 0
+            for nt in nts:
+                sh = {nt} if len(nt) <= k else {nt[i:i + k] for i in range(len(nt) - k + 1)}
+                vals = []
+                for s in sh:
+                    v = mget(s)
+                    if v is None:
+                        v = int.from_bytes(md5(s.encode("utf-8")).digest()[:4], "big") >> 4
+                        memo[s] = v
+                    vals.append(v)
+                h = np.asarray(vals, dtype=np.uint64)[None, :]
+                flat[pos:pos + num_perm] = ((a * h + b) % m).min(axis=1)
+                pos += num_perm
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array(flat, type=pa.int32()),
+            )
+            bands_arr = _pack_band_lists(flat.reshape(n, num_perm), bands, 4)
+            yield pa.RecordBatch.from_arrays(
+                [ids_col, sig_arr, bands_arr], ["doc_id", "sig", "bands"]
+            )
+
+    return d.mapInArrow(
+        run, schema=f"doc_id {id_t}, sig array<int>, bands array<binary>"
+    )
+
+
+def _bands_from_sigs(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Band keys for caller-provided signatures: same packed-binary keys,
+    8-byte components so ANY int64 signature values stay injective. Each
+    sig must be exactly ``num_perm`` long (true for every minhash sketch
+    by construction)."""
+    import numpy as np
+
+    id_t = sigs.schema["doc_id"].dataType.simpleString()
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids_col = batch.column(batch.schema.get_field_index("doc_id"))
+            sig_col = batch.column(batch.schema.get_field_index("sig"))
+            flat = sig_col.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(batch), num_perm)
+            bands_arr = _pack_band_lists(mat, bands, 8)
+            yield pa.RecordBatch.from_arrays(
+                [ids_col, sig_col, bands_arr], ["doc_id", "sig", "bands"]
+            )
+
+    return sigs.select("doc_id", "sig").mapInArrow(
+        run, schema=f"doc_id {id_t}, sig array<bigint>, bands array<binary>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -300,37 +450,38 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band buckets + per-bucket sig verify.
 
-    shingle -> md5-minhash -> band hash -> bucket grouping; the band explode
-    turns the Jaccard θ-join into bucket co-location (same trick as the ER
-    blocking stage). The (small: num_perm longs) signature rides the bucket
-    rows into ONE per-bucket Arrow kernel that compares every signature
-    pair with vectorized integer equality — no bucket self-join, no
-    O(bucket^2) distinct, and the sketch plan is consumed exactly once
-    (the previous join-back verify evaluated it three times per action
-    unless the caller persisted it). est_jaccard = matching-component
-    fraction — pure integer math, so the value is bit-identical however
-    many bands a pair shares; the final min-aggregation dedups multi-band
-    pairs deterministically. Kernel memory is O(bucket * num_perm) plus a
-    chunk x bucket count tile; a pathologically hot bucket needs narrower
-    bands upstream, the same constraint the join design had at
-    O(bucket^2) shuffle rows.
+    shingle -> md5-minhash -> packed band key -> bucket grouping; the band
+    explode turns the Jaccard θ-join into bucket co-location (same trick
+    as the ER blocking stage). Band keys are INJECTIVE packed binaries
+    (band index byte + the band's components big-endian), computed by one
+    numpy byte-view inside the sketch kernel — bucket co-membership, and
+    therefore the emitted pair set, is exactly what the former md5-string
+    keys produced (equal slices <-> equal keys, both injective), with the
+    8-per-doc interpreted JVM md5/array_join evaluations gone and the
+    signature riding the bucket shuffle as array<int> (components are
+    < 2^31 by construction) at half the bytes. The signature rides the
+    bucket rows into ONE per-bucket Arrow kernel that compares every
+    signature pair with vectorized integer equality — no bucket
+    self-join, no O(bucket^2) distinct, and the sketch plan is consumed
+    exactly once (the previous join-back verify evaluated it three times
+    per action unless the caller persisted it). est_jaccard =
+    matching-component fraction — pure integer math, so the value is
+    bit-identical however many bands a pair shares; the final
+    min-aggregation dedups multi-band pairs deterministically. Kernel
+    memory is O(bucket * num_perm) plus a chunk x bucket count tile; a
+    pathologically hot bucket needs narrower bands upstream, the same
+    constraint the join design had at O(bucket^2) shuffle rows.
     """
     import numpy as np
     import pandas as pd
 
-    rows = num_perm // bands
+    if bands > 255:
+        raise ValueError("bands must fit one key byte (<= 255)")
     if sigs is None:
-        sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
-    # unhex: the 16-byte binary md5 is the identical grouping key at half
-    # the shuffled bytes of the 32-char hex string (the key is internal —
-    # only bucket co-membership matters downstream)
-    band_arr = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"unhex(md5(concat(cast(b as string), ':', "
-        f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-        f"x -> cast(x as string)), ',')))))"
-    )
-    banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("band"))
+        sb = _minhash_sig_bands(docs, text_col, num_perm, bands, shingle_k)
+    else:
+        sb = _bands_from_sigs(sigs, num_perm, bands)
+    banded = sb.select("doc_id", "sig", F.explode("bands").alias("band"))
     # One ROW per bucket (collect_list) with singleton buckets — the vast
     # majority — dropped JVM-side. applyInPandas would build a pandas
     # frame per GROUP: with ~one bucket per duplicate group that is tens
@@ -354,7 +505,7 @@ def minhash_lsh_pairs(
     )
     thr = float(threshold)
     npm = num_perm
-    id_t = sigs.schema["doc_id"].dataType.simpleString()
+    id_t = sb.schema["doc_id"].dataType.simpleString()
     row_ch = 512
     cls_max = 16  # size classes batched without any per-bucket Python
 

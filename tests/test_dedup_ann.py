@@ -178,6 +178,58 @@ class TestDedup:
         assert (0, 1) in pairs and (0, 2) in pairs
         assert (0, 4) not in pairs
 
+    def test_minhash_lsh_fused_matches_explicit_sigs_path(self, spark):
+        """The fused sketch kernel (int32 sigs + packed band keys) and the
+        caller-provided-signatures path (int64 sigs, 8-byte band
+        components) must emit the identical pair set with identical
+        est_jaccard values: band keys are injective in both, so bucket
+        co-membership — and the integer component-match verify — cannot
+        differ."""
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        docs = _docs(spark)
+        fused = {(r["doc_id1"], r["doc_id2"]): r["est_jaccard"]
+                 for r in minhash_lsh_pairs(docs, threshold=0.6).collect()}
+        sigs = minhash_signatures(docs)
+        explicit = {(r["doc_id1"], r["doc_id2"]): r["est_jaccard"]
+                    for r in minhash_lsh_pairs(docs, threshold=0.6,
+                                               sigs=sigs).collect()}
+        assert fused == explicit
+        assert len(fused) > 0
+
+    def test_pack_band_lists_injective(self):
+        """Two signature rows get an equal band key iff the band's
+        components are equal — the property that makes the packed keys
+        interchangeable with the former md5-string keys."""
+        import pyarrow as pa  # noqa: F401
+
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            _pack_band_lists,
+        )
+
+        mat = np.array(
+            [
+                [1, 2, 3, 4, 5, 6, 7, 8],
+                [1, 2, 3, 4, 9, 9, 9, 9],   # band 0 equal, band 1 differs
+                [8, 7, 6, 5, 5, 6, 7, 8],   # band 0 differs, band 1 equal
+                [1, 2, 3, 4, 5, 6, 7, 8],   # both equal to row 0
+            ],
+            dtype=np.int64,
+        )
+        for item_bytes in (4, 8):
+            arr = _pack_band_lists(mat, bands=2, item_bytes=item_bytes)
+            keys = arr.to_pylist()
+            assert keys[0][0] == keys[1][0] and keys[0][1] != keys[1][1]
+            assert keys[0][0] != keys[2][0] and keys[0][1] == keys[2][1]
+            assert keys[0] == keys[3]
+            # band index is part of the key: band 0 of one row never
+            # collides with band 1 of another even for equal components
+            flat = [k for row in keys for k in row]
+            assert keys[0][0] != keys[0][1]
+            assert len(flat) == 8
+
     def test_simhash(self, spark):
         pairs = {(r["doc_id1"], r["doc_id2"]): r["hamming"]
                  for r in simhash_pairs(_docs(spark), max_hamming=6).collect()}

@@ -537,6 +537,50 @@ class TestEmbeddingLSH:
         assert recall >= 0.8, recall
         assert all(c >= 0.9 for c in got.values())
 
+    def test_gram_kernels_partitioning_invariant(self, spark):
+        """The GRAM kernels' docstrings claim partitioning invariance
+        (fixed chunk shapes -> identical BLAS shapes -> identical floats):
+        the same corpus under repartition(1/4/32) must yield BIT-identical
+        (doc_id1, doc_id2, cosine) sets for the blocked path
+        (embedding_cosine_pairs with block_col -> _block_gram_pairs) and
+        for embedding_lsh_pairs. Mirrors test_cc_partitioning_invariance."""
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            embedding_cosine_pairs,
+            embedding_lsh_pairs,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = []
+        for i in range(90):
+            base = rng.randn(12)
+            rows.append((i, (i % 4), (base / np.linalg.norm(base)).tolist()))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, blk int, embedding array<double>"
+        )
+
+        def blocked_set(df):
+            return {
+                (r["doc_id1"], r["doc_id2"], r["cosine"])
+                for r in embedding_cosine_pairs(
+                    df, threshold=0.2, block_col="blk"
+                ).collect()
+            }
+
+        def lsh_set(df):
+            return {
+                (r["doc_id1"], r["doc_id2"], r["cosine"])
+                for r in embedding_lsh_pairs(
+                    df, threshold=0.2, n_planes=8, bands=2, seed=7
+                ).collect()
+            }
+
+        ref_blocked = blocked_set(emb.repartition(1))
+        ref_lsh = lsh_set(emb.repartition(1))
+        assert len(ref_blocked) > 0 and len(ref_lsh) > 0
+        for n in (4, 32):
+            assert blocked_set(emb.repartition(n)) == ref_blocked, n
+            assert lsh_set(emb.repartition(n)) == ref_lsh, n
+
 
 class TestIVFKMeans:
     def test_refined_centroids_recall(self, spark):

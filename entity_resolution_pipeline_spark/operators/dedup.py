@@ -912,46 +912,54 @@ def embedding_lsh_pairs(
     band and deduped by a final (doc_id1, doc_id2) min-aggregation (the
     recomputed cosines agree to the last ulp or within one BLAS rounding
     of it; `min` makes the survivor deterministic).
+
+    Hyperplanes are derived PER LENGTH GROUP inside the kernel
+    (``RandomState(seed).randn(n_planes, dim)`` per distinct dim, cached
+    per task) and the dim is folded into the injective band key, so the
+    operator launches NO separate driver job: the former
+    ``max(size(vec))`` probe was a full extra pass over the corpus per
+    call — a real cost at 100 TB — purely to pick one global
+    dimensionality. Single-dim corpora (the normal case) get bit-identical
+    planes, keys-equivalent buckets, and therefore the identical pair
+    set; mixed-dim corpora now ALSO pair within each minority length
+    group (cosine is defined within a group — the old global-max-dim gate
+    silently dropped them). NULL/empty vectors still drop
+    (util.vec_matrix_groups policy).
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    # max over the table (not first()): the first row could be a NULL or
-    # empty vector, which must not define the hyperplane dimensionality
-    dim_row = emb.select(F.max(F.size(vec_col)).alias("d")).first()
-    if dim_row is None or dim_row["d"] is None or int(dim_row["d"]) <= 0:
-        return embedding_cosine_pairs(emb, threshold, id_col, vec_col, block_col=None)
-    dim = int(dim_row["d"])
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
     rows_per_band = n_planes // bands
     vec_t = emb.schema[vec_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .util import vec_matrix_groups
 
-        # integer band keys (band_index << rows_per_band | packed sign
-        # bits): any injective map of (band, bit-chunk) groups identically,
-        # so the former per-row per-band Python md5/string loop is replaced
-        # by one sign-bit matmul + one pack matmul per band — and the
-        # 32-char hex grouping key becomes an 8-byte long in the shuffle
+        # integer band keys ((dim * bands + band) << rows_per_band |
+        # packed sign bits): any injective map of (dim, band, bit-chunk)
+        # groups identically, so the former per-row per-band Python
+        # md5/string loop is replaced by one sign-bit matmul + one pack
+        # matmul per band — and the 32-char hex grouping key becomes an
+        # 8-byte long in the shuffle
         pack_w = (1 << np.arange(rows_per_band - 1, -1, -1)).astype(np.int64)
+        plane_cache: dict[int, np.ndarray] = {}
         for pdf in batches:
             vals = pdf[vec_col].tolist()
             ids = pdf[id_col].to_numpy()
             id_chunks, band_chunks, out_vecs = [], [], []
-            # NULL/empty/wrong-length vectors can't be hashed against the
-            # dim-sized hyperplanes: they drop here and so can never be
-            # candidates (drop-don't-crash, see util.vec_matrix_groups)
             for sel, vv in vec_matrix_groups(vals):
-                if vv.shape[1] != dim:
-                    continue
+                dim = vv.shape[1]
+                planes = plane_cache.get(dim)
+                if planes is None:
+                    planes = np.random.RandomState(seed).randn(n_planes, dim)
+                    plane_cache[dim] = planes
                 bits = ((vv @ planes.T) >= 0).astype(np.int64)  # (g, planes)
                 keys = np.empty((len(sel), bands), dtype=np.int64)
                 for b in range(bands):
                     packed = bits[:, b * rows_per_band:(b + 1) * rows_per_band] @ pack_w
-                    keys[:, b] = (b << rows_per_band) + packed
+                    keys[:, b] = ((dim * bands + b) << rows_per_band) + packed
                 id_chunks.append(np.repeat(ids[sel], bands))
                 band_chunks.append(keys.reshape(-1))
                 out_vecs.extend(v for i in sel.tolist() for v in (vals[i],) * bands)

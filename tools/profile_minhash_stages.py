@@ -55,19 +55,12 @@ def main() -> None:
     timeit("signatures", lambda: dd.minhash_signatures(docs))
 
     num_perm, bands = 32, 8
-    rows = num_perm // bands
 
     def banded():
-        sigs = dd.minhash_signatures(docs)
-        band_arr = F.expr(
-            f"transform(sequence(0, {bands - 1}), b -> "
-            f"unhex(md5(concat(cast(b as string), ':', "
-            f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-            f"x -> cast(x as string)), ',')))))"
-        )
-        return sigs.select("doc_id", "sig", F.explode(band_arr).alias("band"))
+        sb = dd._minhash_sig_bands(docs, "text", num_perm, bands, 5)
+        return sb.select("doc_id", "sig", F.explode("bands").alias("band"))
 
-    timeit("sig+banding", banded)
+    timeit("sig+banding (fused)", banded)
 
     def buckets():
         return (
